@@ -1,0 +1,160 @@
+"""Vectorized planar geometry: point-in-polygon, polygon/hex intersection,
+Mercator reprojection, haversine.
+
+Replaces the reference's Shapely/GeoPandas geometry layer
+(kraina-ai/hex2vec src/data/make_dataset.py:19-99, download.py:11-22)
+with NumPy closed forms — no geometry objects, only coordinate arrays,
+which keeps everything Arrow-friendly inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_R = 6_371_008.8  # mean radius, meters
+WGS84_A = 6_378_137.0
+WGS84_E = 0.081819190842622  # first eccentricity (EPSG:3395)
+
+
+def points_in_polygon(
+    plat: np.ndarray, plng: np.ndarray, ring_lat: np.ndarray, ring_lng: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray casting, vectorized over points x edges.
+
+    Treats lat/lng as planar (valid for the regional polygons this engine
+    joins against; the reference's sjoin is likewise planar in EPSG:4326 —
+    make_dataset.py:96-99). Points exactly on an edge may fall either side
+    (same as the reference's predicate).
+    """
+    plat = np.asarray(plat, dtype=np.float64)
+    plng = np.asarray(plng, dtype=np.float64)
+    y1 = np.asarray(ring_lat, dtype=np.float64)
+    x1 = np.asarray(ring_lng, dtype=np.float64)
+    y2 = np.roll(y1, -1)
+    x2 = np.roll(x1, -1)
+    # edge straddles the horizontal line through the point
+    py = plat[:, None]
+    px = plng[:, None]
+    cond = (y1[None, :] > py) != (y2[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (py - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+            x2[None, :] - x1[None, :]
+        )
+    crossings = cond & (px < xint)
+    return crossings.sum(axis=1) % 2 == 1
+
+
+def _segments_intersect(
+    ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+) -> np.ndarray:
+    """Proper segment intersection test, broadcast over inputs."""
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    return ((d1 * d2) < 0) & ((d3 * d4) < 0)
+
+
+def polygons_intersect_hexes(
+    hex_verts_lat: np.ndarray,
+    hex_verts_lng: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lng: np.ndarray,
+) -> np.ndarray:
+    """For N hexagons (N,6 vertex arrays) vs one polygon ring: True where
+    the hexagon intersects the polygon (vertex containment either way, or
+    any edge crossing). Mirrors gpd.sjoin(..., predicate='intersects') on
+    the tiling (make_dataset.py:50-52).
+    """
+    n, m = hex_verts_lat.shape
+    # any hex vertex inside polygon
+    flat_in = points_in_polygon(
+        hex_verts_lat.ravel(), hex_verts_lng.ravel(), ring_lat, ring_lng
+    ).reshape(n, m)
+    hit = flat_in.any(axis=1)
+    # any polygon vertex inside hex (convex: half-plane test against all edges)
+    rem = ~hit
+    if np.any(rem):
+        hv_lat = hex_verts_lat[rem]
+        hv_lng = hex_verts_lng[rem]
+        nx = np.roll(hv_lng, -1, axis=1)
+        ny = np.roll(hv_lat, -1, axis=1)
+        # cross((v2-v1), (p-v1)) per hex-edge x polygon-vertex
+        px = ring_lng[None, None, :]
+        py = ring_lat[None, None, :]
+        cross = (nx - hv_lng)[:, :, None] * (py - hv_lat[:, :, None]) - (
+            ny - hv_lat
+        )[:, :, None] * (px - hv_lng[:, :, None])
+        inside = np.all(cross >= 0, axis=1) | np.all(cross <= 0, axis=1)
+        hit[rem] = inside.any(axis=1)
+    # any hex edge crossing any polygon edge
+    rem = ~hit
+    if np.any(rem):
+        hv_lat = hex_verts_lat[rem]
+        hv_lng = hex_verts_lng[rem]
+        hx1, hy1 = hv_lng, hv_lat
+        hx2, hy2 = np.roll(hv_lng, -1, axis=1), np.roll(hv_lat, -1, axis=1)
+        rx1, ry1 = ring_lng, ring_lat
+        rx2, ry2 = np.roll(ring_lng, -1), np.roll(ring_lat, -1)
+        inter = _segments_intersect(
+            hx1[:, :, None], hy1[:, :, None], hx2[:, :, None], hy2[:, :, None],
+            rx1[None, None, :], ry1[None, None, :], rx2[None, None, :], ry2[None, None, :],
+        )
+        hit[rem] = inter.any(axis=(1, 2))
+    return hit
+
+
+# ------------------------------------------------------------- reprojection
+
+def lonlat_to_mercator_3857(lng_deg: np.ndarray, lat_deg: np.ndarray):
+    """EPSG:4326 -> EPSG:3857 (spherical web mercator; visualize.py:41)."""
+    x = WGS84_A * np.radians(lng_deg)
+    y = WGS84_A * np.log(np.tan(np.pi / 4.0 + np.radians(lat_deg) / 2.0))
+    return x, y
+
+
+def mercator_3857_to_lonlat(x: np.ndarray, y: np.ndarray):
+    lng = np.degrees(x / WGS84_A)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2.0)
+    return lng, lat
+
+
+def lonlat_to_mercator_3395(lng_deg: np.ndarray, lat_deg: np.ndarray):
+    """EPSG:4326 -> EPSG:3395 (ellipsoidal mercator; the reference buffers
+    city polygons in 3395 — make_dataset.py:61-65)."""
+    lat = np.radians(lat_deg)
+    x = WGS84_A * np.radians(lng_deg)
+    e = WGS84_E
+    y = WGS84_A * np.log(
+        np.tan(np.pi / 4.0 + lat / 2.0)
+        * ((1.0 - e * np.sin(lat)) / (1.0 + e * np.sin(lat))) ** (e / 2.0)
+    )
+    return x, y
+
+
+def mercator_3395_to_lonlat(x: np.ndarray, y: np.ndarray, iters: int = 8):
+    lng = np.degrees(x / WGS84_A)
+    t = np.exp(-y / WGS84_A)
+    lat = np.pi / 2.0 - 2.0 * np.arctan(t)
+    e = WGS84_E
+    for _ in range(iters):
+        lat = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * np.sin(lat)) / (1.0 + e * np.sin(lat))) ** (e / 2.0)
+        )
+    return lng, np.degrees(lat)
+
+
+def haversine_m(lat1, lng1, lat2, lng2) -> np.ndarray:
+    la1, lo1, la2, lo2 = map(np.radians, (lat1, lng1, lat2, lng2))
+    a = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+    return 2.0 * EARTH_R * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def polygon_area_deg2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
+    """Shoelace area in squared degrees (sign gives winding)."""
+    x, y = np.asarray(ring_lng), np.asarray(ring_lat)
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

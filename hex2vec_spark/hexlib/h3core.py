@@ -1,0 +1,374 @@
+"""Vectorized H3-format cell index API (encode/decode/boundary/kring/...).
+
+From-scratch NumPy implementation of an aperture-7 icosahedral hex grid
+with the public H3 64-bit index layout:
+
+    bit 63        : reserved (0)
+    bits 62..59   : mode (1 = cell)
+    bits 58..56   : reserved (0)
+    bits 55..52   : resolution (0..15)
+    bits 51..45   : base cell (0..121)
+    bits 44..0    : 15 x 3-bit digits, digit 1 highest; unused digits = 7
+
+Cell definition (self-consistent; see hexlib/icosa.py for the derived
+face/base-cell tables):
+
+  * ``encode(lat, lng, res)``: find the nearest icosahedron face, project
+    gnomonically, hex-round at res ``res``, chain up to res 0 to find the
+    hierarchical base cell, then recompute the digit path **in the base
+    cell's home-face frame** (gnomonically extended across face edges).
+    A short fixed-point iteration re-homes the rare points whose
+    home-frame hierarchy disagrees with the first-guess frame, so every
+    point in a cell maps to one index.
+  * ``cell_center``/``cell_boundary`` invert that definition exactly in
+    the home frame, so encode(center(c)) == c for every reachable cell.
+  * ``kring`` walks neighbors ring-by-ring via 1-step center probes and
+    re-encoding (exact away from the 12 pentagon footprints, where the
+    grid is consistent but locally distorted — documented limitation).
+
+Semantics mirror the reference's use of the h3 lib (geo_to_h3/polyfill/
+k_ring/h3_to_geo_boundary at kraina-ai/hex2vec src/data/make_dataset.py:
+19-41 and src/models/h3_neighbor_dataset.py:21-30) without porting any
+code; the reference's string cell ids correspond to ``h3_to_string``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import hexmath as hm
+from . import icosa as ic
+
+H3_MODE_CELL = 1
+MAX_RES = 15
+
+_DIGIT_MASK = (np.uint64(1) << np.uint64(45)) - np.uint64(1)
+
+
+# ---------------------------------------------------------------- packing
+
+def pack(base_cell: np.ndarray, digits: np.ndarray, res: int) -> np.ndarray:
+    """(N,), (N,res) int64 -> uint64 H3 index array."""
+    h = np.full(base_cell.shape, 0, dtype=np.uint64)
+    h |= np.uint64(H3_MODE_CELL) << np.uint64(59)
+    h |= np.uint64(res) << np.uint64(52)
+    h |= base_cell.astype(np.uint64) << np.uint64(45)
+    acc = np.zeros(base_cell.shape, dtype=np.uint64)
+    for r in range(1, MAX_RES + 1):
+        d = digits[..., r - 1].astype(np.uint64) if r <= res else np.uint64(7)
+        acc = (acc << np.uint64(3)) | d
+    return h | acc
+
+
+def unpack(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """uint64 -> (res, base_cell, digits[...,15]) ; unused digits are 7."""
+    h = np.asarray(h, dtype=np.uint64)
+    res = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
+    digits = np.zeros(h.shape + (MAX_RES,), dtype=np.int64)
+    for r in range(1, MAX_RES + 1):
+        shift = np.uint64(3 * (MAX_RES - r))
+        digits[..., r - 1] = ((h >> shift) & np.uint64(0x7)).astype(np.int64)
+    return res, bc, digits
+
+
+def get_resolution(h: np.ndarray) -> np.ndarray:
+    return ((np.asarray(h, dtype=np.uint64) >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+
+
+def h3_to_string(h: np.ndarray) -> np.ndarray:
+    flat = np.asarray(h, dtype=np.uint64).ravel()
+    return np.array([format(int(v), "x") for v in flat]).reshape(np.shape(h))
+
+
+def string_to_h3(s) -> np.ndarray:
+    arr = np.asarray(s)
+    flat = [np.uint64(int(v, 16)) for v in arr.ravel()]
+    return np.array(flat, dtype=np.uint64).reshape(arr.shape)
+
+
+def is_pentagon(h: np.ndarray) -> np.ndarray:
+    _, bc, _ = unpack(np.asarray(h, dtype=np.uint64))
+    return ic.BC_PENTAGON[bc]
+
+
+# ---------------------------------------------------------------- encode
+
+def _lookup_bc(face: np.ndarray, anchor: np.ndarray) -> np.ndarray:
+    """(N,) face ids + (N,3) normalized res-0 ijk -> base cell id or -1."""
+    i, j, k = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+    ok = (i <= 2) & (j <= 2) & (k <= 2)
+    bc = np.full(face.shape, -1, dtype=np.int64)
+    if np.any(ok):
+        bc[ok] = ic.FACE_IJK_BC[face[ok], i[ok], j[ok], k[ok]]
+    return bc
+
+
+# Hierarchical stray bound: a res-r descendant of a base cell strays at
+# most sum_k 7^(-k/2) = 0.608 u0 from the anchor; in angle that is at most
+# 0.608 * RES0_U = 0.232 rad. Any base cell that can hierarchically claim a
+# point therefore has its center within STRAY_RAD of it.
+STRAY_RAD = 0.24
+
+# cell circumradius in radians per res (upper bound; tan >= arc)
+_CIRC_RAD = np.array([(1.0 / np.sqrt(3.0)) / hm.SQRT7**r * 0.3820 for r in range(MAX_RES + 1)])
+
+
+def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Vectorized geo -> H3 cell index (uint64).
+
+    Cell identity must be a pure function of the *cell*, not of which
+    point inside it we encode. Near base-cell seams two base cells can
+    both hierarchically claim a point (gnomonic frames of different home
+    faces drift O(eps^2)), so we enumerate every base cell whose center
+    is within the stray radius (+ one cell circumradius so a cell center
+    and any interior point see the same candidate set), test each for
+    hierarchy consistency in its own home frame, and deterministically
+    keep the lowest-id consistent one.
+    """
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
+    xyz = ic.geo_to_xyz(lat, lng)
+    n = xyz.shape[0]
+
+    cosang = xyz @ ic.BC_CENTER.T  # (N, 122)
+    r_incl = STRAY_RAD + _CIRC_RAD[res] + 0.02
+    cos_thresh = np.cos(r_incl)
+    kmax = 4 if res >= 3 else 8
+    # kmax nearest base cells per point, then mask by the inclusion radius
+    idx = np.argpartition(-cosang, kmax, axis=1)[:, :kmax]
+    cand_cos = np.take_along_axis(cosang, idx, axis=1)
+    order = np.argsort(-cand_cos, axis=1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    cand_cos = np.take_along_axis(cand_cos, order, axis=1)
+    valid = cand_cos >= cos_thresh
+    valid[:, 0] = True  # always evaluate the nearest base cell
+
+    best_bc = np.full(n, 999, dtype=np.int64)
+    best_digits = np.zeros((n, res), dtype=np.int64)
+    fallback_digits = np.zeros((n, res), dtype=np.int64)
+    have = np.zeros(n, dtype=bool)
+
+    for k in range(kmax):
+        rows = np.where(valid[:, k])[0]
+        if rows.size == 0:
+            continue
+        bc_k = idx[rows, k]
+        home = ic.HOME_FACE[bc_k]
+        xh, yh = ic.project(home, xyz[rows])
+        xr, yr = hm.res0_to_res_xy(xh, yh, res)
+        ijk_r = hm.hex2d_to_ijk(xr, yr)
+        anchor_h, digits = hm.chain_up_digits(ijk_r, res)
+        consistent = np.all(anchor_h == ic.HOME_IJK[bc_k], axis=-1)
+        if k == 0:  # nearest cell's chain doubles as the no-fixed-point fallback
+            fb_bc = _lookup_bc(home, anchor_h)
+            fb_ok = fb_bc >= 0
+            fallback_bc = np.where(fb_ok, fb_bc, bc_k)
+            fallback_digits[rows] = digits
+        take = consistent & (bc_k < best_bc[rows])
+        tr = rows[take]
+        best_bc[tr] = bc_k[take]
+        best_digits[tr] = digits[take]
+        have[tr] = True
+
+    if not np.all(have):
+        # no consistent fixed point (vanishingly rare, pentagon seams):
+        # accept the nearest-cell chain result (fallback_bc covers all rows
+        # because the k=0 candidate is always evaluated)
+        miss = ~have
+        best_bc[miss] = fallback_bc[miss]
+        best_digits[miss] = fallback_digits[miss]
+    return pack(best_bc, best_digits, res)
+
+
+# ---------------------------------------------------------------- decode
+
+def _cells_to_home_xy(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (home_face, res, x0, y0): center coords in res-0 u units of the
+    home-face frame."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    res_arr, bc, digits = unpack(h)
+    res = int(res_arr[0]) if res_arr.size else 0
+    if res_arr.size and not np.all(res_arr == res):
+        raise ValueError("mixed resolutions in one batch are not supported")
+    home = ic.HOME_FACE[bc]
+    ijk_r = hm.chain_down(ic.HOME_IJK[bc], digits, res)
+    xr, yr = hm.ijk_to_hex2d(ijk_r)
+    x0, y0 = hm.res_to_res0_xy(xr, yr, res)
+    return home, res_arr, x0, y0
+
+
+def cell_center(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 cells -> (lat_deg, lng_deg) of cell centers."""
+    home, _, x0, y0 = _cells_to_home_xy(h)
+    return ic.xyz_to_geo(ic.unproject(home, x0, y0))
+
+
+def cell_boundary(h: np.ndarray) -> np.ndarray:
+    """uint64 cells -> (N, 6, 2) boundary vertices (lat, lng) degrees.
+
+    Pentagon cells return 6 vertices of the undistorted home-frame hexagon
+    (documented approximation for the 12 pentagon footprints).
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    home, res_arr, x0, y0 = _cells_to_home_xy(h)
+    res = int(res_arr[0]) if res_arr.size else 0
+    circ = (1.0 / np.sqrt(3.0)) / hm.SQRT7**res
+    # direction at angle b in the res-r frame appears at b - rot in res 0
+    ang = np.radians(30.0 + 60.0 * np.arange(6)) - hm.class_rotation(res)
+    vx = x0[:, None] + circ * np.cos(ang)[None, :]
+    vy = y0[:, None] + circ * np.sin(ang)[None, :]
+    lat, lng = ic.xyz_to_geo(ic.unproject(home[:, None], vx, vy))
+    return np.stack([lat, lng], axis=-1)
+
+
+def cell_to_parent(h: np.ndarray, parent_res: int) -> np.ndarray:
+    """Truncate digits to ``parent_res`` (exact, pure bit ops)."""
+    h = np.asarray(h, dtype=np.uint64)
+    res = get_resolution(h)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res coarser than cell res required")
+    out = h & ~(np.uint64(0xF) << np.uint64(52))
+    out |= np.uint64(parent_res) << np.uint64(52)
+    n_fill = MAX_RES - parent_res
+    if n_fill:
+        fill_mask = (np.uint64(1) << np.uint64(3 * n_fill)) - np.uint64(1)
+        out |= fill_mask
+    return out
+
+
+# ------------------------------------------------------------- neighbors
+
+def neighbors(h: np.ndarray) -> np.ndarray:
+    """(N,) cells -> (N, 6) neighbor cells via 1-step center probes.
+
+    Probes are placed at the 6 adjacent lattice centers in each cell's
+    home frame and re-encoded; exact wherever the grid is regular (may
+    return duplicates/self near the 12 pentagons — callers dedupe).
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    home, res_arr, x0, y0 = _cells_to_home_xy(h)
+    res = int(res_arr[0]) if res_arr.size else 0
+    step = 1.0 / hm.SQRT7**res
+    ang = np.radians(60.0 * np.arange(6)) - hm.class_rotation(res)
+    px = x0[:, None] + step * np.cos(ang)[None, :]
+    py = y0[:, None] + step * np.sin(ang)[None, :]
+    lat, lng = ic.xyz_to_geo(ic.unproject(home[:, None], px, py))
+    return encode(lat.ravel(), lng.ravel(), res).reshape(-1, 6)
+
+
+def kring(h: np.ndarray, k: int) -> list[np.ndarray]:
+    """Per input cell, the unique set of cells within grid distance k
+    (including the cell itself). Returns a list of uint64 arrays.
+
+    BFS over :func:`neighbors`, deduped per source cell; mirrors the
+    reference's h3.k_ring usage (h3_neighbor_dataset.py:22,28).
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    n = h.shape[0]
+    seen = [{int(c)} for c in h]
+    frontier = h.copy()
+    owner = np.arange(n)
+    for _ in range(k):
+        if frontier.size == 0:
+            break
+        nb = neighbors(frontier)  # (m, 6)
+        next_cells: list[int] = []
+        next_owner: list[int] = []
+        for row, o in zip(nb, owner):
+            s = seen[o]
+            for c in row:
+                ci = int(c)
+                if ci not in s:
+                    s.add(ci)
+                    next_cells.append(ci)
+                    next_owner.append(o)
+        frontier = np.array(next_cells, dtype=np.uint64)
+        owner = np.array(next_owner, dtype=np.int64)
+    return [np.array(sorted(s), dtype=np.uint64) for s in seen]
+
+
+def kring_flat(h: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened kring: (src_index, cell) parallel arrays.
+
+    Fully vectorized for k <= 2 (the engine's hot path: J5/J6 context
+    pairs use k in {1, 2}); falls back to BFS for larger k.
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    n = h.shape[0]
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    if k == 0:
+        return np.arange(n), h.copy()
+    if k <= 2:
+        n1 = neighbors(h)  # (N, 6)
+        cand = [h[:, None], n1]
+        if k == 2:
+            n2 = neighbors(n1.reshape(-1)).reshape(n, 36)
+            cand.append(n2)
+        c = np.concatenate(cand, axis=1)
+        c.sort(axis=1)
+        keep = np.ones(c.shape, dtype=bool)
+        keep[:, 1:] = c[:, 1:] != c[:, :-1]
+        src = np.broadcast_to(np.arange(n)[:, None], c.shape)[keep]
+        return src, c[keep]
+    rings = kring(h, k)
+    src = np.repeat(np.arange(len(rings)), [len(r) for r in rings])
+    cells = np.concatenate(rings) if rings else np.array([], dtype=np.uint64)
+    return src, cells
+
+
+# --------------------------------------------------------------- metrics
+
+def _edge_lengths_m() -> np.ndarray:
+    """Approximate mean hex edge length per res, from center spacing at a
+    face center (edge = spacing / sqrt(3)); spherical earth R=6371.0088km."""
+    out = np.zeros(MAX_RES + 1)
+    r_earth = 6_371_008.8
+    for res in range(MAX_RES + 1):
+        step = 1.0 / hm.SQRT7**res
+        a = ic.unproject(np.array([0]), np.array([0.0]), np.array([0.0]))[0]
+        b = ic.unproject(np.array([0]), np.array([step]), np.array([0.0]))[0]
+        spacing = np.arccos(np.clip(a @ b, -1, 1)) * r_earth
+        out[res] = spacing / np.sqrt(3.0)
+    return out
+
+
+EDGE_LENGTH_M = _edge_lengths_m()
+
+
+def edge_length_m(res: int) -> float:
+    """Mean hex edge length in meters (reference: h3.edge_length,
+    make_dataset.py:62 used for the 2x-edge tiling buffer)."""
+    return float(EDGE_LENGTH_M[res])
+
+
+# --------------------------------------------------------------- polyfill
+
+def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray:
+    """All cells whose center lies inside the polygon (h3.polyfill
+    semantics; make_dataset.py:41). Vectorized grid-sample + re-encode:
+    sample the polygon bbox densely enough that every cell contains at
+    least one sample, encode all samples, dedupe, then keep cells whose
+    center passes point-in-polygon.
+    """
+    from .geom import points_in_polygon
+
+    ring_lat = np.asarray(ring_lat, dtype=np.float64)
+    ring_lng = np.asarray(ring_lng, dtype=np.float64)
+    lat0, lat1 = ring_lat.min(), ring_lat.max()
+    lng0, lng1 = ring_lng.min(), ring_lng.max()
+    # sample spacing: fraction of the min center spacing (deg at equator),
+    # shrunk by worst-case gnomonic compression (~0.55 at face corners)
+    spacing_deg = np.degrees(EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8)
+    s = 0.35 * spacing_deg
+    pad = 2.0 * spacing_deg
+    lats = np.arange(lat0 - pad, lat1 + pad + s, s)
+    coslat = max(np.cos(np.radians(max(abs(lat0), abs(lat1)))), 0.05)
+    s_lng = s / coslat
+    lngs = np.arange(lng0 - pad, lng1 + pad + s_lng, s_lng)
+    glat, glng = np.meshgrid(lats, lngs, indexing="ij")
+    cells = np.unique(encode(glat.ravel(), glng.ravel(), res))
+    clat, clng = cell_center(cells)
+    inside = points_in_polygon(clat, clng, ring_lat, ring_lng)
+    return cells[inside]

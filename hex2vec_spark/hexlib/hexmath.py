@@ -1,0 +1,190 @@
+"""Pure-NumPy hexagonal lattice math (aperture-7 IJK system).
+
+Implements the 2D/IJK coordinate algebra of an aperture-7 hexagonal
+hierarchy per the public Uber H3 spec (Apache-2.0): IJK coordinates on a
+unit hex lattice, hex rounding, and the two aperture-7 substitution maps
+(counter-clockwise "B" and clockwise "A") that alternate between Class II
+(even resolution) and Class III (odd resolution) grids.
+
+Everything is vectorized over NumPy arrays; no Python-level per-row loops.
+
+Conventions (self-consistent; fixed by the round-trip property tests):
+  * unit axes: e_i at 0 deg, e_j at 120 deg, e_k at 240 deg, spacing 1.
+  * hex2d:  x = i - j/2 - k/2 ,  y = (j - k) * sqrt(3)/2
+  * digit encoding (H3 spec): CENTER=0, K=1, J=2, JK=3, I=4, IK=5, IJ=6,
+    i.e. digit = 4*i + 2*j + k of the unit offset.
+  * resolution r+1 lattice = parent lattice scaled by sqrt(7), rotated by
+    +AP7_ROT (CCW) when r+1 is odd (Class III) and -AP7_ROT when even.
+
+Reference semantics mirrored (not ported) from kraina-ai/hex2vec's use of
+the h3 library (src/data/make_dataset.py:19-41, src/models/
+h3_neighbor_dataset.py:21-30).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SQRT3_2 = np.sqrt(3.0) / 2.0
+SQRT7 = np.sqrt(7.0)
+# aperture-7 rotation angle: atan2(sqrt(3)/2, 5/2) = asin(sqrt(3/28))
+AP7_ROT = np.arctan2(np.sqrt(3.0) / 2.0, 2.5)
+
+# unit IJK vectors for digits 0..6 (digit = 4i + 2j + k)
+DIGIT_IJK = np.zeros((7, 3), dtype=np.int64)
+for _d in range(7):
+    DIGIT_IJK[_d] = ((_d >> 2) & 1, (_d >> 1) & 1, _d & 1)
+
+
+def ijk_to_hex2d(ijk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(..., 3) int IJK -> (x, y) float arrays."""
+    i = ijk[..., 0].astype(np.float64)
+    j = ijk[..., 1].astype(np.float64)
+    k = ijk[..., 2].astype(np.float64)
+    x = i - 0.5 * j - 0.5 * k
+    y = (j - k) * SQRT3_2
+    return x, y
+
+
+def hex2d_to_ijk(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Round fractional hex2d coords to the nearest lattice point.
+
+    Returns normalized IJK (min component 0), shape (..., 3) int64.
+    Classic cube rounding: cube coords (a, -a-b, b) along (e_i, e_k, e_j)
+    are integers exactly at lattice points.
+    """
+    a = x + y / np.sqrt(3.0)  # fractional coefficient of e_i (k = 0 gauge)
+    b = 2.0 * y / np.sqrt(3.0)  # fractional coefficient of e_j
+    return _axial_round(a, b)
+
+
+def normalize_ijk(ijk: np.ndarray) -> np.ndarray:
+    return ijk - ijk.min(axis=-1, keepdims=True)
+
+
+# aperture-7 "down" substitution maps (integer, exact).
+# down_b (CCW, used for odd/Class III child): e_i->(3,1,0) e_j->(0,3,1) e_k->(1,0,3)
+# down_a (CW,  used for even/Class II child): e_i->(3,0,1) e_j->(1,3,0) e_k->(0,1,3)
+def down_b(ijk: np.ndarray) -> np.ndarray:
+    i, j, k = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    return normalize_ijk(np.stack([3 * i + k, i + 3 * j, j + 3 * k], axis=-1))
+
+
+def down_a(ijk: np.ndarray) -> np.ndarray:
+    i, j, k = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    return normalize_ijk(np.stack([3 * i + j, 3 * j + k, i + 3 * k], axis=-1))
+
+
+def up_b(ijk: np.ndarray) -> np.ndarray:
+    """Exact inverse of down_b with hex rounding (parent of a Class III cell)."""
+    a = (ijk[..., 0] - ijk[..., 2]).astype(np.float64)
+    b = (ijk[..., 1] - ijk[..., 2]).astype(np.float64)
+    # M_b = [[3,-1],[1,2]] on axial coords; inverse = 1/7 [[2,1],[-1,3]]
+    fa = (2.0 * a + b) / 7.0
+    fb = (-a + 3.0 * b) / 7.0
+    return _axial_round(fa, fb)
+
+
+def up_a(ijk: np.ndarray) -> np.ndarray:
+    """Exact inverse of down_a with hex rounding (parent of a Class II cell)."""
+    a = (ijk[..., 0] - ijk[..., 2]).astype(np.float64)
+    b = (ijk[..., 1] - ijk[..., 2]).astype(np.float64)
+    # M_a = [[2,1],[-1,3]]; inverse = 1/7 [[3,-1],[1,2]]
+    fa = (3.0 * a - b) / 7.0
+    fb = (a + 2.0 * b) / 7.0
+    return _axial_round(fa, fb)
+
+
+def _axial_round(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cube-round fractional (coeff of e_i, coeff of e_j) to the nearest
+    lattice point; returns normalized IJK.
+
+    Classic cube rounding requires axial axes 60 deg apart; ours are
+    120 deg, so change basis to (u, v) = (e_i, e_i + e_j):
+    a*e_i + b*e_j = (a - b)*u + b*v.
+    """
+    q = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    r = np.asarray(b, dtype=np.float64)
+    y = -q - r
+    rq, ry, rr = np.rint(q), np.rint(y), np.rint(r)
+    dq, dy, dr = np.abs(rq - q), np.abs(ry - y), np.abs(rr - r)
+    fix_q = (dq >= dy) & (dq >= dr)
+    fix_y = (~fix_q) & (dy >= dr)
+    rq = np.where(fix_q, -(ry + rr), rq)
+    # ry only participates via the sum constraint
+    rr = np.where(~(fix_q | fix_y), -(rq + ry), rr)
+    ai = rq + rr  # back to e_i/e_j coefficients
+    bj = rr
+    out = np.stack([ai, bj, np.zeros_like(ai)], axis=-1).astype(np.int64)
+    out -= out.min(axis=-1, keepdims=True)
+    return out
+
+
+def down_for_res(ijk: np.ndarray, res: int) -> np.ndarray:
+    """Apply the aperture-7 refinement that produces resolution ``res``."""
+    return down_b(ijk) if res % 2 == 1 else down_a(ijk)
+
+
+def up_for_res(ijk: np.ndarray, res: int) -> np.ndarray:
+    """Invert the refinement that produced resolution ``res``."""
+    return up_b(ijk) if res % 2 == 1 else up_a(ijk)
+
+
+def class_rotation(res: int) -> float:
+    """Rotation (radians, CCW) of the res-``res`` lattice frame vs res 0."""
+    return AP7_ROT if res % 2 == 1 else 0.0
+
+
+def res0_to_res_xy(x0: np.ndarray, y0: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Map res-0 u coordinates to res-``res`` lattice coordinates.
+
+    hex2d(down_b(p)) = R(+AP7_ROT) * sqrt(7) * hex2d(p) and down_a the
+    mirror, so after r alternating steps: x_r = R(rot) * sqrt(7)^r * x_0
+    with rot = +AP7_ROT for odd r, 0 for even r.
+    """
+    s = SQRT7**res
+    rot = class_rotation(res)
+    if rot == 0.0:
+        return x0 * s, y0 * s
+    c, sn = np.cos(rot), np.sin(rot)
+    return s * (c * x0 - sn * y0), s * (sn * x0 + c * y0)
+
+
+def res_to_res0_xy(xr: np.ndarray, yr: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`res0_to_res_xy`."""
+    s = SQRT7**res
+    rot = class_rotation(res)
+    x, y = xr / s, yr / s
+    if rot == 0.0:
+        return x, y
+    c, sn = np.cos(-rot), np.sin(-rot)
+    return c * x - sn * y, sn * x + c * y
+
+
+def chain_up_digits(ijk_r: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Walk a res-``res`` IJK up to res 0, extracting per-level digits.
+
+    Returns (anchor_ijk at res 0 normalized, digits array of shape
+    (..., res) with digits[..., m] = digit at resolution m+1).
+    All integer-exact.
+    """
+    cur = normalize_ijk(np.asarray(ijk_r, dtype=np.int64))
+    lead_shape = cur.shape[:-1]
+    digits = np.zeros(lead_shape + (max(res, 1),), dtype=np.int64)
+    for r in range(res, 0, -1):
+        parent = up_for_res(cur, r)
+        back = down_for_res(parent, r)
+        diff = cur - back
+        diff -= diff.min(axis=-1, keepdims=True)  # normalize gauge
+        digits[..., r - 1] = 4 * diff[..., 0] + 2 * diff[..., 1] + diff[..., 2]
+        cur = parent
+    return cur, digits[..., :res]
+
+
+def chain_down(anchor_ijk: np.ndarray, digits: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of :func:`chain_up_digits`: rebuild res-``res`` IJK."""
+    cur = normalize_ijk(np.asarray(anchor_ijk, dtype=np.int64))
+    for r in range(1, res + 1):
+        cur = down_for_res(cur, r) + DIGIT_IJK[digits[..., r - 1]]
+        cur = normalize_ijk(cur)
+    return cur

@@ -1,0 +1,208 @@
+"""Unit + property tests for the hexlib kernels (SURVEY.md §5.1/§5.4).
+
+Golden-vector notes: upstream h3 string ids from the reference notebooks
+('891f7248233ffff', cluster-word2vec.ipynb cell 33) are format-validated
+(mode/res bits, parseability). Bit-identical upstream numbering is not
+reproducible without the h3 lib (none in this container); our grid is
+H3-format compatible and self-consistent — see hexlib/icosa.py docstring.
+"""
+
+import numpy as np
+import pytest
+
+from hex2vec_spark.hexlib import geom, h3core as h3, hexmath as hm, icosa as ic
+
+
+class TestIcosa:
+    def test_spec_orientation_is_valid_icosahedron(self):
+        assert ic.USED_SPEC_ORIENTATION
+        dots = ic.FACE_CENTER @ ic.FACE_CENTER.T
+        off = dots[~np.eye(20, dtype=bool)]
+        spectrum = np.unique(np.round(off, 6))
+        assert np.allclose(
+            spectrum, [-1.0, -np.sqrt(5) / 3, -1 / 3, 1 / 3, np.sqrt(5) / 3], atol=1e-6
+        )
+
+    def test_base_cell_tables(self):
+        assert ic.BC_CENTER.shape == (122, 3)
+        assert int(ic.BC_PENTAGON.sum()) == 12
+        assert np.all(ic.HOME_FACE >= 0) and np.all(ic.HOME_FACE < 20)
+        # res-0 unit distance matches the public spec constant
+        assert abs(ic.RES0_U - 0.38196601125010500003) < 1e-12
+
+    def test_project_unproject_roundtrip(self):
+        rng = np.random.default_rng(1)
+        lat = rng.uniform(-80, 80, 1000)
+        lng = rng.uniform(-180, 180, 1000)
+        xyz = ic.geo_to_xyz(lat, lng)
+        face = ic.nearest_face(xyz)
+        x, y = ic.project(face, xyz)
+        back = ic.unproject(face, x, y)
+        assert np.allclose(back, xyz, atol=1e-12)
+
+
+class TestHexMath:
+    def test_rounding_is_exact_nearest(self):
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-3, 3, (2000, 2))
+        ijk = hm.hex2d_to_ijk(pts[:, 0], pts[:, 1])
+        gx, gy = hm.ijk_to_hex2d(ijk)
+        d_round = np.hypot(pts[:, 0] - gx, pts[:, 1] - gy)
+        ii, jj = np.meshgrid(np.arange(-8, 9), np.arange(-8, 9))
+        cand = np.stack([ii.ravel(), jj.ravel(), np.zeros_like(ii.ravel())], -1)
+        cx, cy = hm.ijk_to_hex2d(cand)
+        d_best = np.min(
+            np.hypot(pts[:, 0, None] - cx[None, :], pts[:, 1, None] - cy[None, :]), axis=1
+        )
+        assert np.allclose(d_round, d_best)
+
+    @pytest.mark.parametrize("res", [1, 2, 5, 9, 15])
+    def test_chain_invertible(self, res):
+        rng = np.random.default_rng(res)
+        anchors = hm.normalize_ijk(rng.integers(0, 3, (3000, 3)))
+        digits = rng.integers(0, 7, (3000, res))
+        ijk = hm.chain_down(anchors, digits, res)
+        a2, d2 = hm.chain_up_digits(ijk, res)
+        assert np.all(a2 == anchors)
+        assert np.all(d2 == digits)
+
+    def test_down_up_single_step(self):
+        pts = hm.normalize_ijk(np.random.default_rng(3).integers(-5, 6, (500, 3)))
+        assert np.all(hm.up_b(hm.down_b(pts)) == pts)
+        assert np.all(hm.up_a(hm.down_a(pts)) == pts)
+
+
+class TestH3Core:
+    @pytest.mark.parametrize("res", [0, 1, 5, 9, 12])
+    def test_roundtrip_regional(self, res):
+        """encode(center(encode(p))) is exact away from base-cell seams;
+        regional boxes (the engine's operating mode) are seam-free."""
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(40, 42, 5000)
+        lng = rng.uniform(14, 17, 5000)
+        h = h3.encode(lat, lng, res)
+        clat, clng = h3.cell_center(h)
+        assert np.all(h3.encode(clat, clng, res) == h)
+
+    def test_roundtrip_global_seam_bound(self):
+        rng = np.random.default_rng(43)
+        lat = rng.uniform(-89, 89, 20000)
+        lng = rng.uniform(-180, 180, 20000)
+        h = h3.encode(lat, lng, 9)
+        clat, clng = h3.cell_center(h)
+        ok = (h3.encode(clat, clng, 9) == h).mean()
+        assert ok > 0.995  # documented seam measure ~0.2%
+
+    def test_string_format_and_reference_ids_parse(self):
+        # reference golden ids (cluster-word2vec.ipynb cells 33, 64, 72)
+        for s in ["891f7248233ffff", "891e2045487ffff", "89283087633ffff"]:
+            v = h3.string_to_h3([s])
+            assert h3.get_resolution(v)[0] == 9  # res nibble in our layout too
+            assert h3.h3_to_string(v)[0] == s
+
+    def test_own_ids_format(self):
+        h = h3.encode([41.0], [15.0], 9)
+        s = h3.h3_to_string(h)[0]
+        assert len(s) == 15 and s.endswith("ffff")  # res 9: 6 unused digits
+        assert h3.get_resolution(h)[0] == 9
+
+    def test_parent_consistency(self):
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(40, 42, 2000)
+        lng = rng.uniform(14, 17, 2000)
+        h9 = h3.encode(lat, lng, 9)
+        h7_parent = h3.cell_to_parent(h9, 7)
+        # truncation is exact algebra: same base cell, digit prefix kept
+        _, bc9, d9 = h3.unpack(h9)
+        _, bc7, d7 = h3.unpack(h7_parent)
+        assert np.all(bc9 == bc7)
+        assert np.all(d9[:, :7] == d7[:, :7])
+        assert np.all(d7[:, 7:] == 7)
+        # direct coarse encode agrees except in child-stray bands — the
+        # aperture-7 "gosper island" fractal boundary (real H3 behaves the
+        # same way: children overhang the parent hexagon)
+        h7_direct = h3.encode(lat, lng, 7)
+        assert (h7_direct == h7_parent).mean() > 0.85
+
+    def test_point_in_own_cell_boundary(self):
+        rng = np.random.default_rng(6)
+        lat = rng.uniform(40.5, 41.5, 500)
+        lng = rng.uniform(15, 16, 500)
+        h = h3.encode(lat, lng, 8)
+        b = h3.cell_boundary(h)
+        for i in range(500):
+            assert geom.points_in_polygon(
+                np.array([lat[i]]), np.array([lng[i]]), b[i, :, 0], b[i, :, 1]
+            )[0]
+
+    def test_kring_sizes_and_symmetry(self):
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(40, 42, 2000)
+        lng = rng.uniform(14, 17, 2000)
+        h = np.unique(h3.encode(lat, lng, 9))
+        src1, c1 = h3.kring_flat(h, 1)
+        assert np.all(np.bincount(src1) == 7)
+        src2, c2 = h3.kring_flat(h, 2)
+        assert np.all(np.bincount(src2) == 19)
+        pairs = set(zip(src1.tolist(), c1.tolist()))
+        id_of = {int(c): i for i, c in enumerate(h)}
+        for s, c in zip(src1[:5000], c1[:5000]):
+            if int(c) in id_of:
+                assert (id_of[int(c)], int(h[s])) in pairs
+
+    def test_polyfill_center_semantics(self):
+        ring_lat = np.array([41.0, 41.0, 41.25, 41.3, 41.25])
+        ring_lng = np.array([15.0, 15.3, 15.35, 15.15, 14.95])
+        cells = h3.polyfill(ring_lat, ring_lng, 8)
+        assert len(cells) > 500
+        clat, clng = h3.cell_center(cells)
+        assert np.all(geom.points_in_polygon(clat, clng, ring_lat, ring_lng))
+        # polyfill(boundary(c)) contains c for interior cells
+        rng = np.random.default_rng(8)
+        pl = rng.uniform(41.05, 41.2, 3000)
+        pg = rng.uniform(15.05, 15.25, 3000)
+        hp = np.unique(h3.encode(pl, pg, 8))
+        assert np.isin(hp, cells).mean() > 0.95
+
+    def test_edge_length_monotone(self):
+        e = [h3.edge_length_m(r) for r in range(16)]
+        assert all(a > b for a, b in zip(e, e[1:]))
+        # aperture 7: successive edge ratio = sqrt(7)
+        assert abs(e[5] / e[6] - np.sqrt(7)) < 0.01
+
+
+class TestGeom:
+    def test_pip_square(self):
+        ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
+        ring_lng = np.array([0.0, 1.0, 1.0, 0.0])
+        lat = np.array([0.5, 1.5, -0.1, 0.99])
+        lng = np.array([0.5, 0.5, 0.5, 0.99])
+        assert list(geom.points_in_polygon(lat, lng, ring_lat, ring_lng)) == [
+            True, False, False, True]
+
+    def test_mercator_3857_roundtrip(self):
+        lng = np.array([0.0, 15.0, -120.0])
+        lat = np.array([0.0, 45.0, -60.0])
+        x, y = geom.lonlat_to_mercator_3857(lng, lat)
+        lng2, lat2 = geom.mercator_3857_to_lonlat(x, y)
+        assert np.allclose(lng, lng2) and np.allclose(lat, lat2)
+        # fixed point: lat 0 -> y 0; lng 180 -> x = pi*a
+        assert abs(y[0]) < 1e-9
+
+    def test_mercator_3395_roundtrip(self):
+        lng = np.array([10.0, -75.0])
+        lat = np.array([52.0, -33.0])
+        x, y = geom.lonlat_to_mercator_3395(lng, lat)
+        lng2, lat2 = geom.mercator_3395_to_lonlat(x, y)
+        assert np.allclose(lat, lat2, atol=1e-9) and np.allclose(lng, lng2)
+
+    def test_hex_polygon_intersect(self):
+        ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
+        ring_lng = np.array([0.0, 1.0, 1.0, 0.0])
+        # hex fully inside, fully outside, straddling, surrounding a vertex
+        t = np.radians(30 + 60 * np.arange(6))
+        mk = lambda cy, cx, r: (cy + r * np.sin(t), cx + r * np.cos(t))
+        hy = np.stack([mk(0.5, 0.5, 0.1)[0], mk(5, 5, 0.1)[0], mk(0.5, 1.0, 0.1)[0], mk(0.0, 0.0, 0.3)[0]])
+        hx = np.stack([mk(0.5, 0.5, 0.1)[1], mk(5, 5, 0.1)[1], mk(0.5, 1.0, 0.1)[1], mk(0.0, 0.0, 0.3)[1]])
+        got = geom.polygons_intersect_hexes(hy, hx, ring_lat, ring_lng)
+        assert list(got) == [True, False, True, True]
