@@ -1,38 +1,454 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   : flagship query — per-hexagon caption-feature histogram
+                 over the deterministic synthetic image+caption table
+                 (BASELINE.json input_hint shape), spatial-joined against
+                 the region tiling at H3 res 8, skew-salted aggregation.
+queries()      : operator inventory from SURVEY.md §2; TPC-H-ish entries
+                 are DuckDB-oracled at sf0.01, image/H3 entries are
+                 rows-only (H3 is not SQL-expressible) and get exact
+                 pandas-oracle checks in tests/test_pipeline.py instead.
+oracle_sql()   : DuckDB equivalents, column names aligned 1:1.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ENTRY_N_IMAGES = 4000
+QUERY_N_IMAGES = 4000
+ENTRY_RES = 8
+
+_STOP = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
+
+
+def _images(spark: SparkSession, n: int = QUERY_N_IMAGES) -> DataFrame:
+    from hex2vec_spark.sources.synth import images_table
+
+    return images_table(spark, n)
+
+
+def _tiling_sdf(spark: SparkSession, res: int = ENTRY_RES) -> DataFrame:
+    from hex2vec_spark.operators.spatial import build_tiling
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    return spark.createDataFrame(build_tiling(regions_pandas(), res=res))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan -> h3 encode (Arrow UDF) -> broadcast tiling join ->
+    caption explode -> salted group-by -> (h3, feature, count, region_id).
+    Exercises S/P/J/A of SURVEY.md §2 in one job (build plan M1)."""
+    from hex2vec_spark.operators.agg import explode_caption_tags, salted_count
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    images = _images(spark, ENTRY_N_IMAGES)
+    joined = spatial_join(images, _tiling_sdf(spark), res=ENTRY_RES)
+    tags = explode_caption_tags(joined)
+    return salted_count(tags, ["region_id", "h3", "feature"], count_alias="count")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- queries
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_explode_trim(spark, sf_dir):
+    # P3: split -> explode -> trim (load_data.py:42-44) over documents
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .withColumn("token", F.trim(F.col("token")))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+def _q_semi_filter(spark, sf_dir):
+    # P4: IN-set value filter (load_data.py:60-64)
+    part = _load(spark, sf_dir, "part")
+    return part.where(F.col("p_type").isin("MEDIUM", "PROMO")).select("p_partkey", "p_type")
+
+
+def _q_union_resum(spark, sf_dir):
+    # U1 + A2: vertical union of splits, re-aggregate (make_dataset.py:153-172)
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_self_join(spark, sf_dir):
+    # J5-analog: equi self-join (set-intersection as join)
+    n = _load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        .where(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_nationkey").alias("nk_a"),
+            F.col("b.n_nationkey").alias("nk_b"),
+            F.col("a.n_regionkey").alias("rk"),
+        )
+    )
+
+
+def _q_topk(spark, sf_dir):
+    # W1: full-sort take-k -> TakeOrderedAndProject
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _q_per_group_topk(spark, sf_dir):
+    # W1 variant: row_number window per group
+    from pyspark.sql import Window
+
+    c = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+def _q_group_pivot(spark, sf_dir):
+    # A1: one-hot pivot + group-sum, narrow form (make_dataset.py:143-150)
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("count"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _q_salted_agg(spark, sf_dir):
+    # A1 + north_rule skew handling: salted two-phase == plain GROUP BY
+    from hex2vec_spark.operators.agg import salted_count
+
+    li = _load(spark, sf_dir, "lineitem")
+    return salted_count(
+        li, ["l_returnflag", "l_linestatus"], salt_src="l_orderkey", count_alias="count"
+    )
+
+
+def _q_presence_counts(spark, sf_dir):
+    # A3: conditional presence sums (make_dataset.py:174-190)
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("double").alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("double").alias("n_view"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _q_counts_desc(spark, sf_dir):
+    # A4: groupby-size sort desc (cluster-word2vec.ipynb cell 9)
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_distinct_per_key(spark, sf_dir):
+    # A7: key -> value-set size (cluster-word2vec.ipynb cell 12)
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from hex2vec_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents")).select("fp", "doc_id", "n_dupes")
+
+
+def _q_quality(spark, sf_dir):
+    from hex2vec_spark.operators.text import quality_score
+
+    d = _load(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id", "len_chars",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lowered = F.transform(words, lambda w: F.lower(w))
+    from hex2vec_spark.operators.text import STOPWORDS_EN
+
+    n_stop = F.size(F.filter(lowered, lambda w: w.isin(STOPWORDS_EN)))
+    ratio = F.when(F.size(words) > 0, n_stop / F.size(words)).otherwise(0.0)
+    return d.select(
+        "doc_id", F.when(ratio >= 0.08, "en").otherwise("other").alias("lang_pred")
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    # J7/W1: cosine top-k against the vec_id=0 embedding (broadcast query)
+    from hex2vec_spark.operators.knn import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = cosine_topk(emb.where(F.col("vec_id") != 0), query, k=10)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+# ---- image/H3 pipeline queries (not SQL-expressible -> rows-only checks;
+# ---- exact pandas-oracle equivalence lives in tests/test_pipeline.py)
+
+def _q_hex_features(spark, sf_dir):
+    from hex2vec_spark.operators.agg import hex_features
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    joined = spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES)
+    return hex_features(joined)
+
+
+def _q_assignments(spark, sf_dir):
+    # the interim (image_id, h3, region_id) spatial-join output rows
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    return spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES).select(
+        "image_id", "h3", "region_id"
+    )
+
+
+def _q_context_pairs(spark, sf_dir):
+    from hex2vec_spark.operators.neighbors import context_pairs
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = assign_h3(_images(spark), res=ENTRY_RES).select("h3").distinct()
+    return context_pairs(corpus, k=1)
+
+
+def _q_knn_centroids(spark, sf_dir):
+    from hex2vec_spark.operators.knn import knn_cell_centroids
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = assign_h3(_images(spark), res=ENTRY_RES)
+    return knn_cell_centroids(corpus, (41.0, 15.5), k=10)
+
+
+def _q_phash_near_dup(spark, sf_dir):
+    from hex2vec_spark.operators.dedup import phash_near_dup
+
+    return phash_near_dup(_images(spark), max_hamming=6)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from hex2vec_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d.limit(2000))
+
+
+def _q_simhash(spark, sf_dir):
+    from hex2vec_spark.operators.dedup import simhash_udf
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_udf()(F.col("text")).alias("simhash")).limit(2000)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from hex2vec_spark.operators.dedup import embedding_near_dup
+
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
+    # at sf0.01); 0.35 exercises the bucket-join + verify path with rows
+    return embedding_near_dup(_load(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4)
+
+
+def _q_tile_hex_bins(spark, sf_dir):
+    # raster -> hexagon binning (north_star F7)
+    from hex2vec_spark.functions.image_fns import tile_hex_bins_udf
+
+    img = _images(spark)
+    tiles = img.select(
+        "image_id",
+        F.explode(tile_hex_bins_udf(res=ENTRY_RES)(F.col("phash"), F.col("w"), F.col("h"))).alias("h3"),
+    )
+    return tiles.groupBy("h3").agg(F.count(F.lit(1)).alias("n_tiles"))
+
+
+def _q_image_stats(spark, sf_dir):
+    from hex2vec_spark.functions.image_fns import image_stats
+
+    img = _images(spark, 500)
+    s = img.select("image_id", image_stats(F.col("bytes"), F.col("fmt")).alias("st"))
+    return s.select("image_id", F.round("st.mean_r", 3).alias("mean_r"), F.col("st.n_px").alias("n_px"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "explode_trim": _q_explode_trim,
+        "semi_filter": _q_semi_filter,
+        "union_resum": _q_union_resum,
+        "self_join": _q_self_join,
+        "topk": _q_topk,
+        "per_group_topk": _q_per_group_topk,
+        "group_pivot": _q_group_pivot,
+        "salted_agg": _q_salted_agg,
+        "presence_counts": _q_presence_counts,
+        "counts_desc": _q_counts_desc,
+        "distinct_per_key": _q_distinct_per_key,
+        "dedup_exact": _q_dedup_exact,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "token_count": _q_token_count,
+        "knn_bruteforce": _q_knn_bruteforce,
+        # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
+        "hex_features": _q_hex_features,
+        "assignments": _q_assignments,
+        "context_pairs": _q_context_pairs,
+        "knn_centroids": _q_knn_centroids,
+        "phash_near_dup": _q_phash_near_dup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "tile_hex_bins": _q_tile_hex_bins,
+        "image_stats": _q_image_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "explode_trim": """
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT TRIM(t.token) AS token
+                FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "semi_filter": """
+            SELECT p_partkey, p_type FROM part
+            WHERE p_type IN ('MEDIUM','PROMO')
+        """,
+        "union_resum": """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n FROM (
+                SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+                UNION ALL
+                SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+            ) GROUP BY l_returnflag
+        """,
+        "self_join": """
+            SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b, a.n_regionkey AS rk
+            FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+            WHERE a.n_nationkey < b.n_nationkey
+        """,
+        "topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "per_group_topk": """
+            SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+                FROM customer
+            ) WHERE rk <= 3
+        """,
+        "group_pivot": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS DOUBLE) AS count,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "salted_agg": """
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS DOUBLE) AS count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "presence_counts": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "counts_desc": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "distinct_per_key": """
+            SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY 1
+        """,
+        "quality_score": """
+            SELECT doc_id, LENGTH(text) AS len_chars,
+                   ROUND(CASE WHEN LENGTH(text) > 0
+                         THEN LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / LENGTH(text)
+                         ELSE 0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN LENGTH(text) > 0
+                         THEN LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / LENGTH(text)
+                         ELSE 0 END, 6) AS alpha_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN (len(list_filter(string_split(lower(text), ' '), w -> w IN {_STOP})) * 1.0
+                              / NULLIF(len(string_split(text, ' ')), 0)) >= 0.08
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, LENGTH(text) AS len_chars
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (
+                SELECT vec_id, list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS raw_sim
+                FROM embeddings WHERE vec_id <> 0
+            ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+        """,
+    }

@@ -114,6 +114,23 @@ STRAY_RAD = 0.24
 _CIRC_RAD = np.array([(1.0 / np.sqrt(3.0)) / hm.SQRT7**r * 0.3820 for r in range(MAX_RES + 1)])
 
 
+def _chain_in_home(xyz: np.ndarray, bc: np.ndarray, res: int):
+    """Project ``xyz`` into each row's base-cell home frame and chain up.
+    Returns (consistent_with_bc, digits, anchor_key) — anchor_key is the
+    (a+2)*5+(b+2) LUT key of the chain's res-0 anchor (-1 if out of the
+    anchor window)."""
+    home = ic.HOME_FACE[bc]
+    xh, yh = ic.project(home, xyz)
+    xr, yr = hm.res0_to_res_xy(xh, yh, res)
+    a, b = hm.hex2d_to_axial(xr, yr)
+    a0, b0, digits = hm.chain_up_digits_axial(a, b, res)
+    exp = ic.HOME_AXIAL[bc]
+    consistent = (a0 == exp[..., 0]) & (b0 == exp[..., 1])
+    in_win = (np.abs(a0) <= 2) & (np.abs(b0) <= 2)
+    key = np.where(in_win, (a0 + 2) * 5 + (b0 + 2), -1)
+    return consistent, digits, key, home
+
+
 def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     """Vectorized geo -> H3 cell index (uint64).
 
@@ -125,57 +142,68 @@ def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     and any interior point see the same candidate set), test each for
     hierarchy consistency in its own home frame, and deterministically
     keep the lowest-id consistent one.
+
+    Fast path (res >= 3): candidates come from the 16 anchor cells of the
+    nearest face, scored by true 3D angle against their cell centers —
+    no 122-wide scoring, and rows with a single in-radius candidate (the
+    deep-interior majority) run exactly one integer-axial chain.
     """
     lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
     lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
     xyz = ic.geo_to_xyz(lat, lng)
     n = xyz.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
 
-    cosang = xyz @ ic.BC_CENTER.T  # (N, 122)
-    r_incl = STRAY_RAD + _CIRC_RAD[res] + 0.02
-    cos_thresh = np.cos(r_incl)
-    kmax = 4 if res >= 3 else 8
-    # kmax nearest base cells per point, then mask by the inclusion radius
-    idx = np.argpartition(-cosang, kmax, axis=1)[:, :kmax]
-    cand_cos = np.take_along_axis(cosang, idx, axis=1)
-    order = np.argsort(-cand_cos, axis=1)
-    idx = np.take_along_axis(idx, order, axis=1)
-    cand_cos = np.take_along_axis(cand_cos, order, axis=1)
-    valid = cand_cos >= cos_thresh
-    valid[:, 0] = True  # always evaluate the nearest base cell
+    cos_thresh = np.cos(STRAY_RAD + _CIRC_RAD[res] + 0.02)
+    if res >= 3:
+        face = np.argmax(xyz @ ic.FACE_CENTER.T, axis=1)
+        cand_bc_all = ic.FACE_ANCHOR_BC[face]  # (N, 16)
+        cosang = np.einsum("nk,nck->nc", xyz, ic.BC_CENTER[cand_bc_all])
+    else:
+        cand_bc_all = np.broadcast_to(np.arange(NUM := 122), (n, 122))
+        cosang = xyz @ ic.BC_CENTER.T
 
-    best_bc = np.full(n, 999, dtype=np.int64)
-    best_digits = np.zeros((n, res), dtype=np.int64)
-    fallback_digits = np.zeros((n, res), dtype=np.int64)
-    have = np.zeros(n, dtype=bool)
+    in_rad = cosang >= cos_thresh
+    # candidate bc ids sorted ascending, invalid -> 999 (first consistent
+    # in this order == lowest-id consistent)
+    cand_sorted = np.where(in_rad, cand_bc_all, 999)
+    cand_sorted.sort(axis=1)
+    # ensure at least one candidate: nearest center as a last resort
+    none = cand_sorted[:, 0] == 999
+    if np.any(none):
+        cand_sorted[none, 0] = cand_bc_all[none, np.argmax(cosang[none], axis=1)]
 
+    best_bc = np.full(n, -1, dtype=np.int64)
+    best_digits = np.empty((n, res), dtype=np.int64)
+    fallback_bc = np.full(n, -1, dtype=np.int64)
+    fallback_digits = np.empty((n, res), dtype=np.int64)
+    undecided = np.arange(n)
+    kmax = cand_sorted.shape[1]
     for k in range(kmax):
-        rows = np.where(valid[:, k])[0]
-        if rows.size == 0:
-            continue
-        bc_k = idx[rows, k]
-        home = ic.HOME_FACE[bc_k]
-        xh, yh = ic.project(home, xyz[rows])
-        xr, yr = hm.res0_to_res_xy(xh, yh, res)
-        ijk_r = hm.hex2d_to_ijk(xr, yr)
-        anchor_h, digits = hm.chain_up_digits(ijk_r, res)
-        consistent = np.all(anchor_h == ic.HOME_IJK[bc_k], axis=-1)
-        if k == 0:  # nearest cell's chain doubles as the no-fixed-point fallback
-            fb_bc = _lookup_bc(home, anchor_h)
-            fb_ok = fb_bc >= 0
-            fallback_bc = np.where(fb_ok, fb_bc, bc_k)
+        if undecided.size == 0:
+            break
+        bc_k = cand_sorted[undecided, k]
+        act = bc_k < 999
+        if k > 0 and not np.any(act):
+            break
+        rows = undecided[act] if not np.all(act) else undecided
+        bc_k = bc_k[act] if not np.all(act) else bc_k
+        consistent, digits, key, home = _chain_in_home(xyz[rows], bc_k, res)
+        if k == 0:
+            fb = ic.ANCHOR_KEY_BC[home, np.maximum(key, 0)]
+            fb = np.where((key >= 0) & (fb >= 0), fb, bc_k)
+            fallback_bc[rows] = fb
             fallback_digits[rows] = digits
-        take = consistent & (bc_k < best_bc[rows])
-        tr = rows[take]
-        best_bc[tr] = bc_k[take]
-        best_digits[tr] = digits[take]
-        have[tr] = True
-
-    if not np.all(have):
-        # no consistent fixed point (vanishingly rare, pentagon seams):
-        # accept the nearest-cell chain result (fallback_bc covers all rows
-        # because the k=0 candidate is always evaluated)
-        miss = ~have
+        win = rows[consistent]
+        best_bc[win] = bc_k[consistent]
+        best_digits[win] = digits[consistent]
+        # drop decided rows and rows with no further candidates
+        undecided = rows[~consistent]
+    miss = best_bc < 0
+    if np.any(miss):
+        # no consistent fixed point (pentagon seams, measure ~0):
+        # accept the nearest-candidate chain result
         best_bc[miss] = fallback_bc[miss]
         best_digits[miss] = fallback_digits[miss]
     return pack(best_bc, best_digits, res)
@@ -192,8 +220,9 @@ def _cells_to_home_xy(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     if res_arr.size and not np.all(res_arr == res):
         raise ValueError("mixed resolutions in one batch are not supported")
     home = ic.HOME_FACE[bc]
-    ijk_r = hm.chain_down(ic.HOME_IJK[bc], digits, res)
-    xr, yr = hm.ijk_to_hex2d(ijk_r)
+    ha = ic.HOME_AXIAL[bc]
+    a, b = hm.chain_down_axial(ha[..., 0].copy(), ha[..., 1].copy(), digits, res)
+    xr, yr = hm.axial_to_hex2d(a, b)
     x0, y0 = hm.res_to_res0_xy(xr, yr, res)
     return home, res_arr, x0, y0
 
@@ -345,30 +374,39 @@ def edge_length_m(res: int) -> float:
 
 # --------------------------------------------------------------- polyfill
 
-def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray:
-    """All cells whose center lies inside the polygon (h3.polyfill
-    semantics; make_dataset.py:41). Vectorized grid-sample + re-encode:
-    sample the polygon bbox densely enough that every cell contains at
-    least one sample, encode all samples, dedupe, then keep cells whose
-    center passes point-in-polygon.
-    """
-    from .geom import points_in_polygon
-
+def cells_covering_bbox(
+    ring_lat: np.ndarray, ring_lng: np.ndarray, res: int, pad_cells: float = 2.0
+) -> np.ndarray:
+    """Every cell intersecting the polygon bbox padded by ``pad_cells``
+    center-spacings: dense grid sample (>= 1 sample per cell) + encode +
+    dedupe. The grid-native equivalent of the reference's metric-buffered
+    polyfill candidate set (make_dataset.py:61-65 buffers by 2x edge)."""
     ring_lat = np.asarray(ring_lat, dtype=np.float64)
     ring_lng = np.asarray(ring_lng, dtype=np.float64)
     lat0, lat1 = ring_lat.min(), ring_lat.max()
     lng0, lng1 = ring_lng.min(), ring_lng.max()
-    # sample spacing: fraction of the min center spacing (deg at equator),
+    # sample spacing: fraction of the center spacing (deg at equator),
     # shrunk by worst-case gnomonic compression (~0.55 at face corners)
     spacing_deg = np.degrees(EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8)
     s = 0.35 * spacing_deg
-    pad = 2.0 * spacing_deg
+    pad = (pad_cells + 1.0) * spacing_deg
     lats = np.arange(lat0 - pad, lat1 + pad + s, s)
-    coslat = max(np.cos(np.radians(max(abs(lat0), abs(lat1)))), 0.05)
+    coslat = max(np.cos(np.radians(max(abs(lat0), abs(lat1)) + 1.0)), 0.05)
     s_lng = s / coslat
     lngs = np.arange(lng0 - pad, lng1 + pad + s_lng, s_lng)
     glat, glng = np.meshgrid(lats, lngs, indexing="ij")
-    cells = np.unique(encode(glat.ravel(), glng.ravel(), res))
+    return np.unique(encode(glat.ravel(), glng.ravel(), res))
+
+
+def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray:
+    """All cells whose center lies inside the polygon (h3.polyfill
+    semantics; make_dataset.py:41). Vectorized grid-sample + re-encode,
+    then keep cells whose center passes point-in-polygon."""
+    from .geom import points_in_polygon
+
+    cells = cells_covering_bbox(ring_lat, ring_lng, res, pad_cells=1.0)
     clat, clng = cell_center(cells)
-    inside = points_in_polygon(clat, clng, ring_lat, ring_lng)
+    inside = points_in_polygon(
+        clat, clng, np.asarray(ring_lat, dtype=np.float64), np.asarray(ring_lng, dtype=np.float64)
+    )
     return cells[inside]

@@ -161,6 +161,79 @@ def res_to_res0_xy(xr: np.ndarray, yr: np.ndarray, res: int) -> tuple[np.ndarray
     return c * x - sn * y, sn * x + c * y
 
 
+# ------------------------------------------------------------------ axial
+# Fast integer-axial representation used by the hot encode/decode paths:
+# a lattice point is (a, b) = coefficients of (e_i, e_j); conversions to
+# normalized IJK only at the table-lookup edge. 2 int64 columns instead
+# of 3, no normalization in the loop, ~4 ops per aperture-7 step.
+
+# digit <-> axial delta lookup: delta (da, db) in [-1..1]^2
+_DIGIT_BY_DELTA = np.full((3, 3), -1, dtype=np.int64)
+for _d in range(7):
+    _i, _j, _k = DIGIT_IJK[_d]
+    _DIGIT_BY_DELTA[_i - _k + 1, _j - _k + 1] = _d
+_AXIAL_OF_DIGIT = np.array([[d[0] - d[2], d[1] - d[2]] for d in DIGIT_IJK], dtype=np.int64)
+
+
+def axial_round(fa: np.ndarray, fb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cube-round fractional axial coords; returns int64 (a, b)."""
+    q = fa - fb
+    r = fb
+    y = -q - r
+    rq, ry, rr = np.rint(q), np.rint(y), np.rint(r)
+    dq, dy, dr = np.abs(rq - q), np.abs(ry - y), np.abs(rr - r)
+    fix_q = (dq >= dy) & (dq >= dr)
+    fix_y = (~fix_q) & (dy >= dr)
+    rq = np.where(fix_q, -(ry + rr), rq)
+    rr = np.where(~(fix_q | fix_y), -(rq + ry), rr)
+    return (rq + rr).astype(np.int64), rr.astype(np.int64)
+
+
+def hex2d_to_axial(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return axial_round(x + y / np.sqrt(3.0), 2.0 * y / np.sqrt(3.0))
+
+
+def axial_to_hex2d(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return a - 0.5 * b, b * SQRT3_2
+
+
+def axial_to_ijk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    z = np.zeros_like(a)
+    out = np.stack([a, b, z], axis=-1)
+    out -= out.min(axis=-1, keepdims=True)
+    return out
+
+
+def chain_up_digits_axial(a: np.ndarray, b: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Integer-axial chain res -> 0. Returns (a0, b0, digits (...,res))."""
+    digits = np.empty(a.shape + (res,), dtype=np.int64) if res else np.zeros(a.shape + (0,), dtype=np.int64)
+    for r in range(res, 0, -1):
+        af = a.astype(np.float64)
+        bf = b.astype(np.float64)
+        if r % 2 == 1:  # inverse of down_b: M_b^-1 = 1/7 [[2,1],[-1,3]]
+            pa, pb = axial_round((2.0 * af + bf) / 7.0, (-af + 3.0 * bf) / 7.0)
+            ca, cb = 3 * pa - pb, pa + 2 * pb  # down_b
+        else:  # inverse of down_a: M_a^-1 = 1/7 [[3,-1],[1,2]]
+            pa, pb = axial_round((3.0 * af - bf) / 7.0, (af + 2.0 * bf) / 7.0)
+            ca, cb = 2 * pa + pb, -pa + 3 * pb  # down_a
+        digits[..., r - 1] = _DIGIT_BY_DELTA[a - ca + 1, b - cb + 1]
+        a, b = pa, pb
+    return a, b, digits
+
+
+def chain_down_axial(a: np.ndarray, b: np.ndarray, digits: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of chain_up_digits_axial."""
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            a, b = 3 * a - b, a + 2 * b
+        else:
+            a, b = 2 * a + b, -a + 3 * b
+        d = _AXIAL_OF_DIGIT[digits[..., r - 1]]
+        a = a + d[..., 0]
+        b = b + d[..., 1]
+    return a, b
+
+
 def chain_up_digits(ijk_r: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
     """Walk a res-``res`` IJK up to res 0, extracting per-level digits.
 

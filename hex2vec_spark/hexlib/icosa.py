@@ -254,6 +254,20 @@ def _build() -> dict:
                 home_ijk[bc] = anchors[a_idx]
     assert np.all(home_face >= 0)
 
+    # axial (a, b) = (i - k, j - k) forms for the fast encode/decode path
+    anchor_axial = np.stack(
+        [anchors[:, 0] - anchors[:, 2], anchors[:, 1] - anchors[:, 2]], axis=1
+    )
+    home_axial = np.stack(
+        [home_ijk[:, 0] - home_ijk[:, 2], home_ijk[:, 1] - home_ijk[:, 2]], axis=1
+    )
+    # per-face LUT keyed by (a+2)*5 + (b+2) -> base cell (or -1)
+    anchor_key_bc = np.full((20, 25), -1, dtype=np.int64)
+    for f in range(20):
+        for a_idx in range(16):
+            a, b = anchor_axial[a_idx]
+            anchor_key_bc[f, (a + 2) * 5 + (b + 2)] = labels.reshape(20, 16)[f, a_idx]
+
     return dict(
         FACE_CENTER=fc,
         FACE_T1=t1,
@@ -262,10 +276,14 @@ def _build() -> dict:
         FACE_VERTS=face_verts,
         RES0_U=res0_u,
         FACE_IJK_BC=face_ijk_bc,
+        FACE_ANCHOR_BC=labels.reshape(20, 16),
+        ANCHOR_AXIAL=anchor_axial,
+        ANCHOR_KEY_BC=anchor_key_bc,
         BC_CENTER=bc_center,
         BC_PENTAGON=bc_pent,
         HOME_FACE=home_face,
         HOME_IJK=home_ijk,
+        HOME_AXIAL=home_axial,
         USED_SPEC_ORIENTATION=used_spec_orientation,
     )
 
@@ -278,10 +296,14 @@ FACE_T2: np.ndarray = _T["FACE_T2"]
 VERTICES: np.ndarray = _T["VERTICES"]
 RES0_U: float = float(_T["RES0_U"])
 FACE_IJK_BC: np.ndarray = _T["FACE_IJK_BC"]
+FACE_ANCHOR_BC: np.ndarray = _T["FACE_ANCHOR_BC"]
+ANCHOR_AXIAL: np.ndarray = _T["ANCHOR_AXIAL"]
+ANCHOR_KEY_BC: np.ndarray = _T["ANCHOR_KEY_BC"]
 BC_CENTER: np.ndarray = _T["BC_CENTER"]
 BC_PENTAGON: np.ndarray = _T["BC_PENTAGON"]
 HOME_FACE: np.ndarray = _T["HOME_FACE"]
 HOME_IJK: np.ndarray = _T["HOME_IJK"]
+HOME_AXIAL: np.ndarray = _T["HOME_AXIAL"]
 USED_SPEC_ORIENTATION: bool = bool(_T["USED_SPEC_ORIENTATION"])
 
 

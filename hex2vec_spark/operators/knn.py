@@ -1,0 +1,107 @@
+"""Similarity search (J7/W1): brute-force cosine top-k + LSH-bucketed ANN.
+
+Reference: cosine_similarity(embeddings, query) -> argsort desc -> take k
+(cluster-word2vec.ipynb cells 64-88). Spark shape: broadcast the query,
+JVM-side dot product via higher-order array functions, then
+orderBy(desc).limit(k) -> TakeOrderedAndProject (per-partition heap +
+driver merge of k rows/partition; no full sort, no full shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k (baseline; whole-stage-codegen
+    friendly: no Python in the scan, TakeOrderedAndProject for the top-k).
+    Deterministic tie-break on the id column."""
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    vc = F.col(vec_col).cast("array<double>")
+    sim = (_dot(vc, query) / (_norm(vc) * F.lit(qn))).alias("sim")
+    return (
+        emb.select(F.col(id_col), sim)
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing. Vectors are bucketed
+    by the sign pattern against ``n_planes`` fixed random hyperplanes;
+    the probe scans only buckets within ``probe_hamming`` of the query's
+    bucket (bucket column is a partition-prunable int at rest).
+    Approximate: recall controlled by n_planes/probe_hamming."""
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    bucket = F.lit(0)
+    vc = F.col(vec_col).cast("array<double>")
+    for p in range(n_planes):
+        bucket = F.shiftleft(bucket, 1) + F.when(_dot(vc, planes[p].tolist()) >= 0, 1).otherwise(0)
+
+    q = np.asarray(query, dtype=np.float64)
+    qbits = 0
+    for p in range(n_planes):
+        qbits = (qbits << 1) | int(planes[p] @ q >= 0)
+    probe = {qbits}
+    if probe_hamming >= 1:
+        probe |= {qbits ^ (1 << b) for b in range(n_planes)}
+
+    bucketed = emb.withColumn("_bucket", bucket).where(F.col("_bucket").isin(list(probe)))
+    return cosine_topk(bucketed, query, k, id_col, vec_col)
+
+
+def knn_cell_centroids(
+    corpus: DataFrame, query_latlng: tuple[float, float], k: int = 10, h3_col: str = "h3"
+) -> DataFrame:
+    """North-star 'kNN over H3 cell centroids': broadcast the query point,
+    compute haversine to each cell centroid in an Arrow UDF, top-k via
+    TakeOrderedAndProject."""
+    from ..hexlib import h3core, geom
+
+    qlat, qlng = query_latlng
+
+    @F.pandas_udf("double")
+    def _dist(h: pd.Series) -> pd.Series:
+        lat, lng = h3core.cell_center(h.to_numpy().view(np.uint64))
+        return pd.Series(geom.haversine_m(lat, lng, qlat, qlng))
+
+    return (
+        corpus.select(h3_col).distinct()
+        .withColumn("dist_m", _dist(F.col(h3_col)))
+        .orderBy("dist_m", h3_col)
+        .limit(k)
+    )

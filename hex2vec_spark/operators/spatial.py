@@ -1,0 +1,110 @@
+"""Spatial operators: tiling (J2), H3-equi spatial join (J1), strict PIP.
+
+The reference's core operator is ``gpd.sjoin(objects, hex_polygons,
+predicate='intersects')`` (make_dataset.py:96-99) driven by a buffered
+polyfill tiling (make_dataset.py:26-58). Here the spatial join is
+re-expressed as an **equi-join on H3 cell id** (SURVEY.md J1): points get
+their cell via a vectorized Arrow UDF and join the (broadcast) tiling
+dimension — no R-tree, no geometric test in the hot path, no shuffle of
+the fact table at all for per-region tilings.
+
+Scale notes:
+  * tiling is a dimension (10^3-10^6 cells/region) -> built once,
+    broadcast; the 10^12-row fact side is never shuffled for the join.
+  * hot geotag cells skew *groups*, not this join (broadcast hash join
+    has no key-based partitioning); aggregation skew is handled by
+    operators/agg.salted_count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..hexlib import geom, h3core
+from ..functions.h3_fns import DEFAULT_RES, h3_from_phash_res
+
+
+def build_tiling(regions_pdf: pd.DataFrame, res: int = DEFAULT_RES, buffer_k: int = 2) -> pd.DataFrame:
+    """Hex tiling of each region: all res-``res`` cells intersecting the
+    region polygon(s).
+
+    Reference semantics (get_hexes_for_place, make_dataset.py:26-58):
+    buffer the polygon by 2x hex edge, polyfill (centers-contained), then
+    keep hexes that *intersect* the original polygon. The metric buffer +
+    polyfill is replaced by the grid-native equivalent: polyfill then
+    k-ring expand by ``buffer_k`` (cells whose center is within 2 edges
+    of the polygon), then an exact hex-vs-polygon intersects refine.
+
+    Returns pandas (region_id, h3:int64) — a dimension table, built
+    driver-side and broadcast (SURVEY.md J2: tiny side always broadcast).
+    """
+    out = []
+    for _, row in regions_pdf.iterrows():
+        ring_lat = np.asarray(row["ring_lat"], dtype=np.float64)
+        ring_lng = np.asarray(row["ring_lng"], dtype=np.float64)
+        # candidate superset: every cell in the padded bbox (covers the
+        # reference's 2x-edge metric buffer); exact intersects-refine
+        # below yields precisely {cells intersecting the polygon}, the
+        # same set the reference's buffer+polyfill+sjoin produces
+        cand = h3core.cells_covering_bbox(ring_lat, ring_lng, res, pad_cells=buffer_k)
+        verts = h3core.cell_boundary(cand)  # (n, 6, 2)
+        hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], ring_lat, ring_lng)
+        cells = cand[hit]
+        out.append(pd.DataFrame({"region_id": row["region_id"], "h3": cells.view(np.int64)}))
+    tiling = pd.concat(out, ignore_index=True)
+    # MultiPolygon parts may overlap in cells: dedupe per (region, cell)
+    return tiling.drop_duplicates(["region_id", "h3"]).reset_index(drop=True)
+
+
+def assign_h3(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Add the H3 cell column from the geotag convention (J1a: points
+    need no geometric test — h3_encode *is* the spatial join key)."""
+    return images.withColumn("h3", h3_from_phash_res(res)(F.col("phash")))
+
+
+def spatial_join(
+    images: DataFrame,
+    tiling_sdf: DataFrame,
+    res: int = DEFAULT_RES,
+    how: str = "inner",
+) -> DataFrame:
+    """The core spatial join: images x region tiling -> (image_id, h3,
+    region_id, caption...). Equi-join on cell id with the tiling
+    broadcast; replaces gpd.sjoin + R-tree (make_dataset.py:96-99).
+
+    Matches reference row semantics exactly: an object is kept iff its
+    cell is in the tiling (the reference keeps objects intersecting any
+    tiling hex — cell-level membership, no point-level PIP).
+    """
+    with_h3 = assign_h3(images, res)
+    return with_h3.join(F.broadcast(tiling_sdf), "h3", how)
+
+
+def strict_region_assign(
+    joined: DataFrame, regions_pdf: pd.DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Optional strict point-in-polygon refine (north_star's PIP
+    assignment): keeps only rows whose geotag point is inside the region
+    polygon itself (not just inside an intersecting boundary hex).
+    Vectorized PIP against broadcast region rings."""
+    rings: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for _, row in regions_pdf.iterrows():
+        rings.setdefault(row["region_id"], []).append(
+            (np.asarray(row["ring_lat"]), np.asarray(row["ring_lng"]))
+        )
+
+    @F.pandas_udf("boolean")
+    def _pip(phash: pd.Series, region_id: pd.Series) -> pd.Series:
+        from ..functions.h3_fns import geotag_np
+
+        lat, lng = geotag_np(phash.to_numpy())
+        out = np.zeros(len(phash), dtype=bool)
+        for rid in region_id.unique():
+            m = (region_id == rid).to_numpy()
+            for ring_lat, ring_lng in rings.get(rid, []):
+                out[m] |= geom.points_in_polygon(lat[m], lng[m], ring_lat, ring_lng)
+        return pd.Series(out)
+
+    return joined.where(_pip(F.col("phash"), F.col("region_id")))

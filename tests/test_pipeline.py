@@ -1,0 +1,171 @@
+"""Pipeline golden tests: the Spark engine vs a pandas oracle that
+mirrors the reference semantics step by step (SURVEY.md §5.3):
+
+    load_city_tag  (split ';' -> explode -> strip; load_data.py:42-44)
+    add_h3_indices (spatial join -> (osmid, tag, h3); make_dataset.py:96-120)
+    group_city_tags(pivot + groupby(h3).sum(); make_dataset.py:143-172)
+
+The oracle shares the hexlib kernels (no independent H3 exists in this
+container) but executes on a completely different path — single-threaded
+pandas vs distributed Arrow UDFs, broadcast joins and salted shuffles —
+so it verifies all Spark plumbing: partitioning, batching, join and agg
+semantics. Join output rows and tile assignments must match EXACTLY
+(north_rule), captions byte-equal, decoded pixels PSNR >= 40 dB.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hex2vec_spark.functions.h3_fns import geotag_np
+from hex2vec_spark.hexlib import h3core, image as im
+from hex2vec_spark.operators.agg import hex_features, plain_count, explode_caption_tags
+from hex2vec_spark.operators.spatial import build_tiling, spatial_join, assign_h3
+from hex2vec_spark.sources.synth import images_pandas, images_table, regions_pandas
+
+N = 1500
+RES = 8
+
+
+@pytest.fixture(scope="module")
+def oracle_images():
+    return images_pandas(N)
+
+
+@pytest.fixture(scope="module")
+def tiling():
+    return build_tiling(regions_pandas(), res=RES)
+
+
+def oracle_assignments(images_pdf: pd.DataFrame, tiling_pdf: pd.DataFrame) -> pd.DataFrame:
+    lat, lng = geotag_np(images_pdf["phash"].to_numpy())
+    h3 = h3core.encode(lat, lng, RES).view(np.int64)
+    pts = images_pdf[["image_id", "caption"]].copy()
+    pts["h3"] = h3
+    return pts.merge(tiling_pdf, on="h3", how="inner")
+
+
+def oracle_hex_features(assign_pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = assign_pdf.copy()
+    rows["feature"] = rows["caption"].str.split(";")
+    rows = rows.explode("feature")
+    rows["feature"] = rows["feature"].str.strip()
+    rows = rows[rows["feature"] != ""]
+    out = rows.groupby(["h3", "feature"]).size().reset_index(name="count")
+    out["count"] = out["count"].astype(float)
+    return out
+
+
+class TestSynthDeterminism:
+    def test_distributed_generation_matches_pandas(self, spark, oracle_images):
+        sdf = images_table(spark, N, num_partitions=7).orderBy("image_id").toPandas()
+        ref = oracle_images.sort_values("image_id").reset_index(drop=True)
+        assert list(sdf["image_id"]) == list(ref["image_id"])
+        # caption byte-equality per row (input_hint invariant)
+        assert (sdf["caption"].to_numpy() == ref["caption"].to_numpy()).all()
+        assert (sdf["phash"].to_numpy() == ref["phash"].to_numpy()).all()
+        # bytes identical
+        assert all(bytes(a) == bytes(b) for a, b in zip(sdf["bytes"], ref["bytes"]))
+
+    def test_decoded_pixels_psnr(self, oracle_images):
+        for _, row in oracle_images.head(50).iterrows():
+            px = im.decode_image(bytes(row["bytes"]), row["fmt"])
+            back = im.png_decode(im.png_encode(px))
+            assert im.psnr(px, back) >= 40.0  # lossless here: inf
+
+
+class TestSpatialJoinExact:
+    def test_join_rows_exact(self, spark, oracle_images, tiling):
+        ora = oracle_assignments(oracle_images, tiling)
+        eng = (
+            spatial_join(images_table(spark, N), spark.createDataFrame(tiling), res=RES)
+            .select("image_id", "h3", "region_id")
+            .toPandas()
+        )
+        key = lambda d: sorted(map(tuple, d[["image_id", "h3", "region_id"]].to_numpy()))
+        assert key(eng) == key(ora[["image_id", "h3", "region_id"]])
+
+    def test_hot_cells_present(self, spark, oracle_images):
+        # skew realism: the 3 Zipfian hot cells dominate (FIXTURES.md §1)
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy())
+        cells = h3core.encode(lat, lng, RES)
+        counts = pd.Series(cells).value_counts()
+        assert counts.iloc[0] > 0.10 * N
+
+
+class TestAggregation:
+    def test_hex_features_exact(self, spark, oracle_images, tiling):
+        ora = oracle_hex_features(oracle_assignments(oracle_images, tiling))
+        joined = spatial_join(images_table(spark, N), spark.createDataFrame(tiling), res=RES)
+        eng = hex_features(joined, salted=True).toPandas()
+        key = lambda d: sorted(map(tuple, d[["h3", "feature", "count"]].to_numpy()))
+        assert key(eng) == key(ora)
+
+    def test_salted_equals_plain(self, spark, oracle_images, tiling):
+        joined = spatial_join(images_table(spark, N), spark.createDataFrame(tiling), res=RES)
+        tags = explode_caption_tags(joined)
+        from hex2vec_spark.operators.agg import salted_count
+
+        s = salted_count(tags, ["h3", "feature"]).toPandas()
+        p = plain_count(tags, ["h3", "feature"]).toPandas()
+        key = lambda d: sorted(map(tuple, d[["h3", "feature", "count"]].to_numpy()))
+        assert key(s) == key(p)
+
+
+class TestNeighbors:
+    def test_context_pairs_match_oracle(self, spark, oracle_images):
+        from hex2vec_spark.operators.neighbors import context_pairs
+
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy())
+        cells = np.unique(h3core.encode(lat, lng, RES))
+        # pandas oracle: k_ring(1) ∩ corpus minus self (h3_neighbor_dataset.py:21-26)
+        src, ring = h3core.kring_flat(cells, 1)
+        corpus = set(cells.tolist())
+        ora = sorted(
+            (int(cells[s]), int(c))
+            for s, c in zip(src, ring)
+            if int(c) != int(cells[s]) and int(c) in corpus
+        )
+        corpus_sdf = spark.createDataFrame(
+            pd.DataFrame({"h3": cells.view(np.int64)})
+        )
+        eng = context_pairs(corpus_sdf, k=1).toPandas()
+        got = sorted(
+            (int(np.int64(a)), int(np.int64(b)))
+            for a, b in zip(eng["input_h3"].to_numpy().astype(np.int64).view(np.uint64),
+                            eng["context_h3"].to_numpy().astype(np.int64).view(np.uint64))
+        )
+        ora_u = sorted((int(np.int64(a)), int(np.int64(b))) for a, b in
+                       ((np.int64(x).view(np.uint64), np.int64(y).view(np.uint64)) for x, y in ora))
+        assert got == ora_u
+
+
+class TestResume:
+    def test_run_stage_resumes(self, spark, tmp_path):
+        import json
+        from hex2vec_spark.sources.iceberg_lite import run_stage, read_stage, _manifest_path
+
+        src = images_table(spark, 400)
+
+        def transform(df):
+            return assign_h3(df, res=RES).select("image_id", "h3")
+
+        out = str(tmp_path / "stage")
+        m1 = run_stage(spark, src, out, transform, n_buckets=4, input_fingerprint="fp1")
+        assert m1["complete"]
+        total1 = read_stage(spark, out).count()
+        rows1 = {k: v["rows"] for k, v in m1["buckets"].items()}
+        # simulate a mid-job kill: drop two buckets from the manifest
+        with open(_manifest_path(out)) as f:
+            man = json.load(f)
+        secs_kept = {k: man["buckets"][k]["seconds"] for k in ("0", "1")}
+        del man["buckets"]["2"], man["buckets"]["3"]
+        with open(_manifest_path(out), "w") as f:
+            json.dump(man, f)
+        m2 = run_stage(spark, src, out, transform, n_buckets=4, input_fingerprint="fp1")
+        assert m2["complete"]
+        # completed buckets were skipped (their timing entries untouched)
+        assert all(m2["buckets"][k]["seconds"] == secs_kept[k] for k in ("0", "1"))
+        assert {k: v["rows"] for k, v in m2["buckets"].items()} == rows1
+        assert read_stage(spark, out).count() == total1
