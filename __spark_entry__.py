@@ -221,6 +221,97 @@ def _q_token_count(spark, sf_dir):
     )
 
 
+def _q_isin_filter(spark, sf_dir):
+    # P5: membership select + negated drop (load_data.py:91-94)
+    d = _load(spark, sf_dir, "documents")
+    return d.where(F.col("lang").isin("en", "de") & ~F.col("source").isin("web")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_prefix_select(spark, sf_dir):
+    # P6: prefix predicate on the narrow feature rows (load_data.py:95-96)
+    p = _load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").startswith("small")).select("p_partkey", "p_name")
+
+
+def _q_all_zero_drop(spark, sf_dir):
+    # P7: drop rows whose feature columns are all zero (load_data.py:97)
+    ev = _load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("v_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("v_purchase"),
+    )
+    return agg.where(F.greatest("v_click", "v_purchase") > 0).select(
+        "user_id", F.round("v_click", 4).alias("v_click"), F.round("v_purchase", 4).alias("v_purchase")
+    )
+
+
+def _q_endswith(spark, sf_dir):
+    # P10: suffix predicate (cluster-word2vec.ipynb cell 26)
+    c = _load(spark, sf_dir, "customer")
+    return c.where(F.col("c_name").endswith("7")).select("c_custkey", "c_name")
+
+
+def _q_feature_support(spark, sf_dir):
+    # A5: per-group feature support counts ((df.groupby().sum() > 0).sum())
+    ev = _load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+    )
+    return per_user.agg(
+        F.sum((F.col("n_click") > 0).cast("long")).cast("double").alias("support_click"),
+        F.sum((F.col("n_view") > 0).cast("long")).cast("double").alias("support_view"),
+    )
+
+
+def _q_cluster_means(spark, sf_dir):
+    # A6: per-label mean vectors (groupby('label').mean(); nb cells 32,40)
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(F.element_at(F.col("embedding"), 1)), 6).alias("m0"),
+        F.round(F.avg(F.element_at(F.col("embedding"), 2)), 6).alias("m1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_dropdup(spark, sf_dir):
+    # A8: dropDuplicates on a projection (make_dataset.py:52)
+    ev = _load(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+def _q_pivot_wide(spark, sf_dir):
+    # A1 wide form: bounded-vocab pivot with zero back-fill
+    # (make_dataset.py:143-163)
+    li = _load(spark, sf_dir, "lineitem")
+    narrow = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("count")
+    )
+    return (
+        narrow.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.first("count"))
+        .na.fill(0.0)
+        .select("l_returnflag", F.col("F").alias("n_f"), F.col("O").alias("n_o"))
+    )
+
+
+def _q_union_missing_cols(spark, sf_dir):
+    # U1 with schema widening: unionByName(allowMissingColumns=True)
+    # (make_dataset.py:161-167 missing-column zero-fill)
+    ev = _load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id", F.col("value").alias("v_click"))
+    b = ev.where(F.col("event_type") == "view").select("user_id", F.col("value").alias("v_view"))
+    u = a.unionByName(b, allowMissingColumns=True).na.fill(0.0)
+    return u.groupBy("user_id").agg(
+        F.round(F.sum("v_click"), 4).alias("sum_click"),
+        F.round(F.sum("v_view"), 4).alias("sum_view"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_knn_bruteforce(spark, sf_dir):
     # J7/W1: cosine top-k against the vec_id=0 embedding (broadcast query)
     from hex2vec_spark.operators.knn import cosine_topk
@@ -335,6 +426,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
         "knn_bruteforce": _q_knn_bruteforce,
+        "isin_filter": _q_isin_filter,
+        "prefix_select": _q_prefix_select,
+        "all_zero_drop": _q_all_zero_drop,
+        "endswith": _q_endswith,
+        "feature_support": _q_feature_support,
+        "cluster_means": _q_cluster_means,
+        "dropdup": _q_dropdup,
+        "pivot_wide": _q_pivot_wide,
+        "union_missing_cols": _q_union_missing_cols,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
@@ -442,6 +542,55 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, LENGTH(text) AS len_chars
             FROM documents
+        """,
+        "isin_filter": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang IN ('en','de') AND source NOT IN ('web')
+        """,
+        "prefix_select": """
+            SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'
+        """,
+        "all_zero_drop": """
+            SELECT user_id, ROUND(v_click, 4) AS v_click, ROUND(v_purchase, 4) AS v_purchase FROM (
+                SELECT user_id,
+                       SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS v_click,
+                       SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS v_purchase
+                FROM events GROUP BY user_id
+            ) WHERE GREATEST(v_click, v_purchase) > 0
+        """,
+        "endswith": """
+            SELECT c_custkey, c_name FROM customer WHERE c_name LIKE '%7'
+        """,
+        "feature_support": """
+            SELECT CAST(SUM(CASE WHEN n_click > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS support_click,
+                   CAST(SUM(CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS support_view
+            FROM (
+                SELECT user_id,
+                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+                FROM events GROUP BY user_id
+            )
+        """,
+        "cluster_means": """
+            SELECT label, ROUND(AVG(embedding[1]), 6) AS m0,
+                   ROUND(AVG(embedding[2]), 6) AS m1, COUNT(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+        "dropdup": "SELECT DISTINCT user_id, event_type FROM events",
+        "pivot_wide": """
+            SELECT l_returnflag,
+                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS DOUBLE) AS n_f,
+                   CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS DOUBLE) AS n_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "union_missing_cols": """
+            SELECT user_id, ROUND(SUM(v_click), 4) AS sum_click,
+                   ROUND(SUM(v_view), 4) AS sum_view, COUNT(*) AS n
+            FROM (
+                SELECT user_id, value AS v_click, 0.0 AS v_view FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, 0.0 AS v_click, value AS v_view FROM events WHERE event_type = 'view'
+            ) GROUP BY user_id
         """,
         "knn_bruteforce": """
             SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (

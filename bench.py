@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Primary metric (BASELINE.json): images tiled+joined per second — the
+flagship scan -> h3-encode -> broadcast tiling join -> salted feature
+aggregation pipeline over the deterministic synthetic image table,
+input materialized to parquet first so generation cost is excluded.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_N_IMAGES       flagship row count (default 400_000)
+  BENCH_RES            H3 resolution (default 9)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_flagship_input(spark, n_images: int, path: str) -> None:
+    from hex2vec_spark.sources.synth import images_table
+
+    images_table(spark, n_images).write.mode("overwrite").parquet(path)
+
+
+def run_flagship(spark, input_path: str, tiling_sdf, res: int) -> int:
+    """The timed job: scan -> h3 encode -> broadcast tiling join ->
+    caption explode -> salted group-by -> noop sink."""
+    from pyspark.sql import functions as F
+
+    from hex2vec_spark.operators.agg import explode_caption_tags, salted_count
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    images = spark.read.parquet(input_path)
+    joined = spatial_join(images, tiling_sdf, res=res)
+    feats = salted_count(explode_caption_tags(joined), ["region_id", "h3", "feature"])
+    feats.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_images = int(os.environ.get("BENCH_N_IMAGES", "400000"))
+    res = int(os.environ.get("BENCH_RES", "9"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from hex2vec_spark.plans.session import get_spark
+    from hex2vec_spark.operators.spatial import build_tiling
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    import __spark_entry__ as entrymod
+
+    tmp = tempfile.mkdtemp(prefix="hexbench_")
+    timings: dict[str, float] = {}
+    try:
+        input_path = os.path.join(tmp, "images")
+        t0 = time.time()
+        build_flagship_input(spark, n_images, input_path)
+        timings["gen_input"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        tiling = build_tiling(regions_pandas(), res=res)
+        tiling_sdf = spark.createDataFrame(tiling)
+        timings["build_tiling"] = round(time.time() - t0, 3)
+
+        # warmup (numpy page-fault warmup on executors), then measure
+        run_flagship(spark, input_path, tiling_sdf, res)
+        t0 = time.time()
+        run_flagship(spark, input_path, tiling_sdf, res)
+        flagship_sec = time.time() - t0
+        timings["tile_join_agg"] = round(flagship_sec, 3)
+        throughput = n_images / flagship_sec
+
+        # headline per-query timings over the driver tables at sf_dir
+        qs = entrymod.queries()
+        headline = [
+            "q1_pricing_summary", "explode_trim", "group_pivot", "salted_agg",
+            "topk", "per_group_topk", "self_join", "knn_bruteforce",
+            "dedup_exact", "hex_features", "context_pairs", "tile_hex_bins",
+        ]
+        qtimes: dict[str, float] = {}
+        for name in headline:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "images_tiled_joined_per_sec",
+            "value": round(throughput, 1),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "n_images": n_images,
+            "res": res,
+            "cpus": cpus,
+            "phase_seconds": timings,
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
