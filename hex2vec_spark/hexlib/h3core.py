@@ -159,7 +159,8 @@ def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     if res >= 3:
         face = np.argmax(xyz @ ic.FACE_CENTER.T, axis=1)
         cand_bc_all = ic.FACE_ANCHOR_BC[face]  # (N, 16)
-        cosang = np.einsum("nk,nck->nc", xyz, ic.BC_CENTER[cand_bc_all])
+        ctr = ic.BC_CENTER[cand_bc_all]  # (N, 16, 3)
+        cosang = np.matmul(ctr, xyz[:, :, None])[:, :, 0]
     else:
         cand_bc_all = np.broadcast_to(np.arange(NUM := 122), (n, 122))
         cosang = xyz @ ic.BC_CENTER.T

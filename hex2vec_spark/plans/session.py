@@ -24,9 +24,15 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2 if cpus.isdigit() else 64, 8)
+    mem = os.environ.get("SPARK_GRAFT_MEM", "48g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the JVM starts at getOrCreate, so driver memory set
+        # here does apply; binary image columns push netty direct buffers
+        # past the 1g default
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,10 +1,16 @@
 """Deterministic synthetic input tables (FIXTURES.md §1-§2).
 
 The images table is generated *distributed* (mapInPandas over
-spark.range) so the bench can build 500k+ rows without a driver-side
-bottleneck; every value is a pure function of the row id ``i`` (seeded
-rng per row), so any two runs — and the pandas oracle — produce
-byte-identical tables regardless of partitioning.
+spark.range) so the bench can build millions of rows without a
+driver-side bottleneck; every value is a pure function of the row id
+``i`` (counter-based mixing, no stateful rng), so any two runs — and the
+pandas oracle — produce byte-identical tables regardless of
+partitioning or batch boundaries.
+
+Generation is batch-vectorized: rows are grouped by their (w, h) shape
+cycle, pixel noise is a splitmix-style hash of (id, y, x, channel), and
+pHash runs as batched DCT over the whole shape group. Only the PNG
+deflate call remains per-row.
 """
 
 from __future__ import annotations
@@ -32,28 +38,35 @@ HOT_UNITS = [(0.31543, 0.42881), (0.58203, 0.61426), (0.74219, 0.23145)]
 HOT_WEIGHTS = [0.60, 0.28, 0.12]
 HOT_FRACTION = 0.20
 
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
 
-def _phash_for_units(lat_unit: float, lng_unit: float, jitter_i: int) -> np.int64:
-    """Compose a phash whose geotag lands at (lat_unit, lng_unit) with a
-    deterministic sub-cell jitter in the low 15 bits of each half."""
-    rng = np.random.default_rng(jitter_i * 2654435761 % (2**32))
-    hi = (np.uint64(int(lat_unit * 2**32)) & np.uint64(0xFFFF8000)) | np.uint64(
-        int(rng.integers(0, 1 << 15))
-    )
-    lo = (np.uint64(int(lng_unit * 2**32)) & np.uint64(0xFFFF8000)) | np.uint64(
-        int(rng.integers(0, 1 << 15))
-    )
-    return ((hi << np.uint64(32)) | lo).astype(np.int64)
+_U = np.uint64
 
 
-def make_image_row(i: int) -> dict:
-    """Pure function row-id -> full row (shared with the pandas oracle)."""
-    rng = np.random.default_rng(i)
-    w = W_CYCLE[i % 3]
-    h = H_CYCLE[i % 3]
-    fmt = "png" if i % 4 == 0 else "ppm"
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, uint64 in/out)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> _U(30)
+    x *= _U(0xBF58476D1CE4E5B9)
+    x ^= x >> _U(27)
+    x *= _U(0x94D049BB133111EB)
+    x ^= x >> _U(31)
+    return x
+
+
+def _noise(ids: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(k, h, w, 3) uint8 noise in [0, 32) — pure function of (id, y, x, c)."""
+    k = len(ids)
+    pos = (np.arange(h * w * 3, dtype=np.uint64) * _U(0x9E3779B97F4A7C15))
+    v = _mix(ids.astype(np.uint64)[:, None] * _U(0xD1B54A32D192ED03) ^ pos[None, :])
+    return (v & _U(31)).astype(np.uint8).reshape(k, h, w, 3)
+
+
+def _base_pattern(h: int, w: int) -> np.ndarray:
     yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
+    return np.stack(
         [
             255 * xx / max(w - 1, 1),
             255 * yy / max(h - 1, 1),
@@ -61,42 +74,114 @@ def make_image_row(i: int) -> dict:
         ],
         axis=-1,
     )
-    px = np.clip(base + rng.integers(0, 32, (h, w, 3)), 0, 255).astype(np.uint8)
-    data = im.png_encode(px) if fmt == "png" else im.ppm_encode(px)
-    n_tok = 2 + i % 5
-    toks = [VOCAB[int(v)] for v in rng.integers(0, len(VOCAB), n_tok)]
-    caption = ";".join(toks)
-    # phash: consistent with pixels, except ~20% "hot" rows rewritten to
-    # collapse their geotags into 3 Zipfian cells (skew realism)
-    if (i * 2654435761 % 100) < int(HOT_FRACTION * 100):
-        r = (i * 40503 % 100) / 100.0
-        hot = 0 if r < HOT_WEIGHTS[0] else (1 if r < HOT_WEIGHTS[0] + HOT_WEIGHTS[1] else 2)
-        phash = _phash_for_units(*HOT_UNITS[hot], jitter_i=i)
-    else:
-        phash = np.int64(im.phash64(px))
-    return {
-        "image_id": f"img{i:010d}",
-        "bytes": data,
-        "w": np.int32(w),
-        "h": np.int32(h),
-        "fmt": fmt,
-        "caption": caption,
-        "phash": phash,
-    }
 
 
-IMAGES_SCHEMA = (
-    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
-)
+def _pixels_for(ids: np.ndarray, h: int, w: int) -> np.ndarray:
+    base = _base_pattern(h, w)[None, :, :, :]
+    return np.clip(base + _noise(ids, h, w), 0, 255).astype(np.uint8)
+
+
+def _phash_batch(px: np.ndarray) -> np.ndarray:
+    """Batched DCT pHash, bit-identical to hexlib.image.phash64 per row."""
+    k, h, w, _ = px.shape
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # area-average resize to 32x32 (same edges as image._resize_mean)
+    ye = (np.arange(33) * h) // 32
+    xe = (np.arange(33) * w) // 32
+    csum = np.zeros((k, h + 1, w + 1))
+    csum[:, 1:, 1:] = gray.cumsum(1).cumsum(2)
+    out = (
+        csum[:, ye[1:], :][:, :, xe[1:]]
+        - csum[:, ye[:-1], :][:, :, xe[1:]]
+        - csum[:, ye[1:], :][:, :, xe[:-1]]
+        + csum[:, ye[:-1], :][:, :, xe[:-1]]
+    )
+    area = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
+    small = out / np.maximum(area, 1)
+    D = im._DCT32
+    d = np.matmul(np.matmul(D[None, :, :], small), D.T[None, :, :])
+    block = d[:, :8, :8].reshape(k, 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint64)
+    weights = _U(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def _hot_phash(ids: np.ndarray) -> np.ndarray:
+    """Rewritten phash for hot rows: geotag collapses into 3 Zipfian
+    cells with deterministic sub-cell jitter in the low 15 bits."""
+    r = (ids * 40503 % 100) / 100.0
+    hot = np.where(r < HOT_WEIGHTS[0], 0, np.where(r < HOT_WEIGHTS[0] + HOT_WEIGHTS[1], 1, 2))
+    units = np.array(HOT_UNITS)
+    hi_base = (units[hot, 0] * 2**32).astype(np.uint64) & _U(0xFFFF8000)
+    lo_base = (units[hot, 1] * 2**32).astype(np.uint64) & _U(0xFFFF8000)
+    j1 = _mix(ids.astype(np.uint64) ^ _U(0xA5A5A5A5)) & _U(0x7FFF)
+    j2 = _mix(ids.astype(np.uint64) ^ _U(0x5A5A5A5A)) & _U(0x7FFF)
+    return (((hi_base | j1) << _U(32)) | (lo_base | j2)).astype(np.int64)
+
+
+def _captions(ids: np.ndarray) -> list[str]:
+    n_tok = 2 + (ids % 5)
+    tok_idx = np.stack(
+        [(_mix(ids.astype(np.uint64) ^ _U(t * 0x9E3779B9 + 1)) % _U(len(VOCAB))).astype(np.int64)
+         for t in range(6)],
+        axis=1,
+    )
+    vocab = np.array(VOCAB)
+    return [";".join(vocab[tok_idx[r, : n_tok[r]]]) for r in range(len(ids))]
+
+
+_CHUNK = 1024  # keep float64 DCT intermediates ~100 MB per chunk
+
+
+def images_pandas_ids(ids: np.ndarray) -> pd.DataFrame:
+    """Batch generation for arbitrary id arrays (the single source of
+    truth shared by the Spark generator and the pandas oracle)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    w_arr = np.array(W_CYCLE)[ids % 3].astype(np.int32)
+    h_arr = np.array(H_CYCLE)[ids % 3].astype(np.int32)
+    fmt = np.where(ids % 4 == 0, "png", "ppm")
+    phash = np.zeros(n, dtype=np.int64)
+    data: list[bytes] = [b""] * n
+    for shape_mod in range(3):
+        m = ids % 3 == shape_mod
+        if not m.any():
+            continue
+        rows_all = np.where(m)[0]
+        h, w = H_CYCLE[shape_mod], W_CYCLE[shape_mod]
+        for c0 in range(0, len(rows_all), _CHUNK):
+            rows = rows_all[c0 : c0 + _CHUNK]
+            px = _pixels_for(ids[rows], h, w)
+            phash[rows] = _phash_batch(px)
+            for local, ridx in enumerate(rows):
+                if fmt[ridx] == "png":
+                    data[ridx] = im.png_encode(px[local], level=1)
+                else:
+                    data[ridx] = im.ppm_encode(px[local])
+    hot = (ids * 2654435761 % 100) < int(HOT_FRACTION * 100)
+    if hot.any():
+        phash[hot] = _hot_phash(ids[hot])
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{i:010d}" for i in ids],
+            "bytes": data,
+            "w": w_arr,
+            "h": h_arr,
+            "fmt": fmt,
+            "caption": _captions(ids),
+            "phash": phash,
+        }
+    )
 
 
 def images_pandas(n: int, start: int = 0) -> pd.DataFrame:
-    rows = [make_image_row(i) for i in range(start, start + n)]
-    pdf = pd.DataFrame(rows)
-    pdf["w"] = pdf["w"].astype("int32")
-    pdf["h"] = pdf["h"].astype("int32")
-    pdf["phash"] = pdf["phash"].astype("int64")
-    return pdf
+    return images_pandas_ids(np.arange(start, start + n, dtype=np.int64))
+
+
+def make_image_row(i: int) -> dict:
+    """Single-row convenience wrapper (same pure function)."""
+    return images_pandas_ids(np.array([i], dtype=np.int64)).iloc[0].to_dict()
 
 
 def images_table(spark, n: int, num_partitions: int | None = None):
@@ -107,11 +192,7 @@ def images_table(spark, n: int, num_partitions: int | None = None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = pd.DataFrame([make_image_row(int(i)) for i in pdf["id"]])
-            out["w"] = out["w"].astype("int32")
-            out["h"] = out["h"].astype("int32")
-            out["phash"] = out["phash"].astype("int64")
-            yield out
+            yield images_pandas_ids(pdf["id"].to_numpy())
 
     return (
         spark.range(0, n, numPartitions=num_partitions)

@@ -1,0 +1,73 @@
+"""Structured-Streaming ingestion of the image+caption table.
+
+The reference is batch-only (SURVEY.md §2.8: no watermarks, no stateful
+ops), so the engine's core stays batch. This module serves the same
+operators in incremental mode for continuously-arriving image drops:
+``Trigger.AvailableNow`` over a parquet directory, the identical
+h3-encode + tiling-join transformation, and a streaming per-(h3,
+feature) count with checkpointed state — exactly-once across restarts
+(the streaming analog of the lineage checkpoints in
+sources/iceberg_lite.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.h3_fns import DEFAULT_RES, h3_from_phash_res
+from ..sources.synth import IMAGES_SCHEMA
+
+
+def read_image_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_hex_features(
+    images_stream: DataFrame, tiling_sdf: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Same logical plan as the batch flagship, incrementally maintained:
+    h3 encode (Arrow UDF works on streaming DFs) -> broadcast tiling
+    join (stream-static join: no state) -> explode -> streaming agg
+    (state = running counts per (region_id, h3, feature))."""
+    with_h3 = images_stream.withColumn("h3", h3_from_phash_res(res)(F.col("phash")))
+    joined = with_h3.join(F.broadcast(tiling_sdf), "h3", "inner")
+    tags = (
+        joined.withColumn("feature", F.explode(F.split(F.col("caption"), ";")))
+        .withColumn("feature", F.trim(F.col("feature")))
+        .where(F.col("feature") != "")
+    )
+    return tags.groupBy("region_id", "h3", "feature").agg(
+        F.count(F.lit(1)).cast("double").alias("count")
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    tiling_sdf: DataFrame,
+    res: int = DEFAULT_RES,
+) -> None:
+    """Process everything currently in ``input_path`` and stop; restart
+    with the same checkpoint resumes exactly after the last committed
+    batch (new files only)."""
+    agg = streaming_hex_features(read_image_stream(spark, input_path), tiling_sdf, res)
+
+    # parquet sink doesn't support complete mode; land the running
+    # aggregate via foreachBatch overwrite (idempotent per epoch)
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(output_path)
+
+    query = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
