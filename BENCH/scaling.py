@@ -33,14 +33,12 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from hex2vec_spark.plans.session import get_spark
-from hex2vec_spark.operators.spatial import build_tiling
-from hex2vec_spark.sources.synth import regions_pandas
 import bench
 
 cpus = int(sys.argv[1]); input_path = sys.argv[2]; res = int(sys.argv[3])
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus * 2, 8))
-tiling_sdf = spark.createDataFrame(build_tiling(regions_pandas(), res=res))
+tiling_sdf, _ = bench.materialize_tiling(spark, res)
 for _ in range(2):                         # JIT + numpy page warmup
     bench.run_flagship(spark, input_path, tiling_sdf, res)
 best = None
@@ -55,16 +53,15 @@ spark.stop()
 
 
 def ensure_input(n_images: int, res: int) -> str:
-    path = f"/tmp/hexscale_cache_{n_images}"
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
-        return path
     from hex2vec_spark.plans.session import get_spark
     import bench
 
+    path = f"/tmp/hexscale_cache_{n_images}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     spark = get_spark("scaling-gen", master="local[32]")
     t0 = time.time()
-    bench.build_flagship_input(spark, n_images, path)
+    path, _ = bench.cached_flagship_input(spark, n_images)
     print(f"generated {n_images} rows in {time.time()-t0:.0f}s", file=sys.stderr)
     spark.stop()
     return path

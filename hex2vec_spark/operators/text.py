@@ -8,7 +8,12 @@ the images ``caption`` column.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 STOPWORDS_EN = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
@@ -63,3 +68,55 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     plus a shingle-set signature column for near-dup stages."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fp_md5", F.md5(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, the
+    Schleimer/Wilkerson/Aiken scheme): hash every word n-gram, slide a
+    window of ``window`` consecutive gram hashes, keep each window's
+    minimum, dedupe. Robust to local edits — two documents sharing a
+    long-enough run of words share a fingerprint.
+
+    Arrow-batched pandas UDF (not nested JVM higher-order lambdas: those
+    inline the gram-hash array into every window lambda, recomputing all
+    md5s per window — O(len^2) after Catalyst projection collapse). One
+    pass per doc, each gram hashed once, sliding-min via a monotonic
+    deque-free NumPy stride trick; no shuffle. The md5 hex strings match
+    DuckDB's md5() so the operator is SQL-oracled. Output is a narrow
+    (doc_id, fp) table whose fp equi-join finds near-dup candidates at
+    any scale without an all-pairs pass.
+    """
+    from collections import deque
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _fps(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = ws.split(str(t).lower())
+            n_g = max(len(toks) - n, 0) + 1
+            hashes = [
+                hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest() for i in range(n_g)
+            ]
+            w = min(window, len(hashes))
+            mins: set[str] = set()
+            dq: deque[int] = deque()  # monotonic-min deque of indices
+            for i, hv in enumerate(hashes):
+                while dq and hashes[dq[-1]] >= hv:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - w:
+                    dq.popleft()
+                if i >= w - 1:
+                    mins.add(hashes[dq[0]])
+            out.append(sorted(mins))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), F.explode(_fps(F.col(text_col))).alias("fp"))

@@ -45,6 +45,29 @@ def streaming_hex_features(
     )
 
 
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark for late data:
+    the streaming analog of the batch ``windowed_counts`` query. State is
+    bounded — windows older than the watermark are finalized and evicted,
+    so this runs indefinitely on an unbounded event stream. Append-mode
+    sinks emit each window exactly once, after it closes."""
+    # watermarks require TIMESTAMP (with zone); parquet files often carry
+    # TIMESTAMP_NTZ — normalize (session-tz interpretation, same both
+    # sides of any batch-vs-stream comparison)
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n")
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     input_path: str,

@@ -1,0 +1,204 @@
+"""Tests for the training-data-pipeline operators added on top of the
+reference surface: ANN (IVF / LSH vs exact), winnowing fingerprints,
+n-gram Jaccard, and the multimodal (image/video/audio) UDF plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestANN:
+    def _query(self, emb):
+        row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+        return [float(x) for x in row["embedding"]]
+
+    def test_ivf_recall_vs_exact(self, spark, emb):
+        from hex2vec_spark.operators.knn import cosine_topk, cosine_topk_ivf
+
+        q = self._query(emb)
+        rest = emb.where(F.col("vec_id") != 0)
+        exact = {r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()}
+        approx = {r["vec_id"] for r in cosine_topk_ivf(rest, q, k=10, n_lists=8, n_probe=4).collect()}
+        # half the lists probed -> expect decent overlap, never empty
+        assert len(approx) == 10
+        assert len(exact & approx) >= 4
+
+    def test_ivf_full_probe_equals_exact(self, spark, emb):
+        from hex2vec_spark.operators.knn import cosine_topk, cosine_topk_ivf
+
+        q = self._query(emb)
+        rest = emb.where(F.col("vec_id") != 0)
+        exact = [r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()]
+        full = [r["vec_id"] for r in cosine_topk_ivf(rest, q, k=10, n_lists=8, n_probe=8).collect()]
+        assert full == exact  # probing every list degenerates to exact
+
+    def test_lsh_probe_subset_of_exact_order(self, spark, emb):
+        from hex2vec_spark.operators.knn import cosine_topk_lsh
+
+        q = self._query(emb)
+        rest = emb.where(F.col("vec_id") != 0)
+        got = cosine_topk_lsh(rest, q, k=10, n_planes=6, probe_hamming=1).collect()
+        assert 0 < len(got) <= 10
+        sims = [r["sim"] for r in got]
+        assert sims == sorted(sims, reverse=True)
+
+
+class TestWinnow:
+    def test_shared_run_shares_fingerprint(self, spark):
+        from hex2vec_spark.operators.text import winnow_fingerprints
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "PREFIX one two " + base,
+                    base + " SUFFIX other words here",
+                    "completely different words with no overlap at all whatsoever",
+                ],
+            })
+        )
+        fps = winnow_fingerprints(df).toPandas()
+        s1 = set(fps[fps.doc_id == 1]["fp"])
+        s2 = set(fps[fps.doc_id == 2]["fp"])
+        s3 = set(fps[fps.doc_id == 3]["fp"])
+        assert s1 & s2  # long shared run -> shared fingerprint
+        assert not (s1 & s3) and not (s2 & s3)
+
+    def test_deterministic(self, spark):
+        from hex2vec_spark.operators.text import winnow_fingerprints
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        a = sorted(map(tuple, winnow_fingerprints(d).collect()))
+        b = sorted(map(tuple, winnow_fingerprints(d).collect()))
+        assert a == b and len(a) > 0
+
+
+class TestNgramJaccard:
+    def test_planted_near_dup_found(self, spark):
+        from hex2vec_spark.operators.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "the quick brown fox jumps over the lazy dog tonight",
+                    "unrelated text entirely about something else completely",
+                ],
+            })
+        )
+        pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        from hex2vec_spark.sources.synth import images_table
+
+        return images_table(spark, 40).cache()
+
+    def test_resize_roundtrip(self, spark, images):
+        from hex2vec_spark.functions.multimodal import resize_images
+        from hex2vec_spark.hexlib import image as im
+
+        out = resize_images(images, out_w=8, out_h=8).collect()
+        assert len(out) == 40
+        for r in out:
+            px = im.png_decode(bytes(r["bytes_small"]))
+            assert px.shape == (8, 8, 3)
+
+    def test_resize_preserves_mean(self, spark, images):
+        # area-average resize preserves the global mean within rounding
+        from hex2vec_spark.functions.multimodal import resize_images
+        from hex2vec_spark.functions.image_fns import image_stats
+        from pyspark.sql import functions as F
+
+        orig = images.select("image_id", image_stats(F.col("bytes"), F.col("fmt")).alias("s"))
+        small = resize_images(images, 8, 8)
+        sm = small.select("image_id", image_stats(F.col("bytes_small"), F.col("fmt")).alias("s"))
+        j = (
+            orig.select("image_id", F.col("s.mean_r").alias("r0"))
+            .join(sm.select("image_id", F.col("s.mean_r").alias("r1")), "image_id")
+            .collect()
+        )
+        for r in j:
+            assert abs(r["r0"] - r["r1"]) < 2.0
+
+    def test_frame_sample_deterministic_plumbing(self, spark, images):
+        from hex2vec_spark.functions.multimodal import sample_frames
+
+        a = sample_frames(images, n_frames=3).toPandas().sort_values(["image_id", "frame_idx"])
+        b = sample_frames(images, n_frames=3).toPandas().sort_values(["image_id", "frame_idx"])
+        assert len(a) == 40 * 3
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+        assert set(a.columns) == {"image_id", "frame_idx", "t_ms", "frame_phash"}
+
+    def test_frame_sample_real_path_raises(self, spark, images):
+        from hex2vec_spark.functions.multimodal import frame_sample_udf
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        df = images.select(frame_sample_udf(n_frames=2, fake=False)(F.col("bytes")))
+        with pytest.raises((Py4JJavaError, PythonException)):
+            df.collect()
+
+    def test_audio_features_shape(self, spark, images):
+        from hex2vec_spark.functions.multimodal import audio_features_udf
+
+        rows = images.select(
+            "image_id", audio_features_udf(n_mfcc=4)(F.col("bytes")).alias("a")
+        ).collect()
+        for r in rows:
+            assert r["a"]["duration_s"] > 0
+            assert 0.0 <= r["a"]["rms"] <= 1.0
+            assert len(r["a"]["mfcc"]) == 4
+
+
+class TestWindowedStreaming:
+    def test_windowed_counts_matches_batch(self, spark, tmp_path):
+        import shutil
+
+        from hex2vec_spark.streaming.ingest import windowed_event_counts
+
+        src = str(tmp_path / "events_in")
+        (tmp_path / "events_in").mkdir()
+        shutil.copy(f"{SF_DIR}/events.parquet", src + "/part-0.parquet")
+        ev_schema = spark.read.parquet(src).schema
+
+        stream = (
+            spark.readStream.schema(ev_schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory").queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM win_counts").toPandas()
+
+        batch = (
+            spark.read.parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "event_type", "n")
+            .toPandas()
+        )
+        key = ["ws", "event_type"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            batch.sort_values(key).reset_index(drop=True),
+        )
