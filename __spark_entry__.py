@@ -436,6 +436,15 @@ def _q_knn_centroids(spark, sf_dir):
     return knn_cell_centroids(corpus, (41.0, 15.5), k=10)
 
 
+def _q_knn_centroids_pruned(spark, sf_dir):
+    # north_star: kNN over cell centroids via broadcast cell-prefix trie
+    from hex2vec_spark.operators.knn import knn_cell_centroids_pruned
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = assign_h3(_images(spark), res=ENTRY_RES)
+    return knn_cell_centroids_pruned(corpus, (41.0, 15.5), k=10, res=ENTRY_RES)
+
+
 def _q_phash_near_dup(spark, sf_dir):
     from hex2vec_spark.operators.dedup import phash_near_dup
 
@@ -585,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assignments": _q_assignments,
         "context_pairs": _q_context_pairs,
         "knn_centroids": _q_knn_centroids,
+        "knn_centroids_pruned": _q_knn_centroids_pruned,
         "phash_near_dup": _q_phash_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,

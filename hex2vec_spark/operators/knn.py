@@ -129,6 +129,60 @@ def cosine_topk_ivf(
     )
 
 
+def knn_cell_centroids_pruned(
+    corpus: DataFrame,
+    query_latlng: tuple[float, float],
+    k: int = 10,
+    h3_col: str = "h3",
+    res: int | None = None,
+    prefix_gap: int = 3,
+    max_ring: int = 8,
+) -> DataFrame:
+    """North-star 'kNN over H3 cell centroids via broadcast of cell
+    prefix tries': prune candidates by coarse-cell *prefix* before the
+    exact distance scan.
+
+    The query's parent cell at ``res - prefix_gap`` is k-ring-expanded
+    driver-side into a tiny prefix set (the 'trie': H3 ids are prefix
+    codes — a parent id determines the high bits of every descendant),
+    broadcast as an isin filter on h3_parent(h3). At rest the same
+    parent is the table partition key (sources/iceberg_lite), so the
+    filter prunes *files*, not just rows. The ring expands until the
+    k-th candidate distance is provably inside the pruned region
+    (outside-ring lower bound from the coarse edge length), so the
+    result equals the exact scan — asserted in tests.
+    """
+    from ..hexlib import h3core, geom
+    from ..functions.h3_fns import h3_parent_udf
+
+    qlat, qlng = query_latlng
+    cells = corpus.select(h3_col).distinct()
+    if res is None:
+        first = cells.first()
+        res = int(h3core.get_resolution(np.array([first[h3_col]]).view(np.uint64))[0])
+    pres = max(res - prefix_gap, 0)
+    qparent = h3core.encode(np.array([qlat]), np.array([qlng]), pres)
+    edge_p = h3core.edge_length_m(pres)
+
+    r = 1
+    while True:
+        _, prefixes = h3core.kring_flat(qparent, r)
+        pruned = cells.where(
+            h3_parent_udf(pres)(F.col(h3_col)).isin([int(x) for x in prefixes.view(np.int64)])
+        )
+        top = knn_cell_centroids(pruned, query_latlng, k, h3_col)
+        rows = top.collect()
+        # any centroid outside ring r is at least this far from the query
+        # (r rings of center spacing sqrt(3)*edge, minus one parent
+        # circumradius each for the query's and the centroid's offset)
+        bound = (r * np.sqrt(3.0) - 2.0) * edge_p
+        if (len(rows) == k and rows[-1]["dist_m"] <= bound) or r >= max_ring:
+            if r >= max_ring and (len(rows) < k or rows[-1]["dist_m"] > bound):
+                return knn_cell_centroids(cells, query_latlng, k, h3_col)  # exact fallback
+            return top
+        r += 1
+
+
 def knn_cell_centroids(
     corpus: DataFrame, query_latlng: tuple[float, float], k: int = 10, h3_col: str = "h3"
 ) -> DataFrame:

@@ -51,6 +51,57 @@ class TestANN:
         assert sims == sorted(sims, reverse=True)
 
 
+class TestKnnCentroidsPruned:
+    def test_equals_exact_scan(self, spark):
+        from hex2vec_spark.operators.knn import knn_cell_centroids, knn_cell_centroids_pruned
+        from hex2vec_spark.operators.spatial import assign_h3
+        from hex2vec_spark.sources.synth import images_table
+
+        corpus = assign_h3(images_table(spark, 2000), res=8)
+        for q in [(41.0, 15.5), (40.2, 12.1), (44.9, 19.9)]:
+            exact = [(r["h3"], round(r["dist_m"], 3)) for r in
+                     knn_cell_centroids(corpus, q, k=8).collect()]
+            pruned = [(r["h3"], round(r["dist_m"], 3)) for r in
+                      knn_cell_centroids_pruned(corpus, q, k=8, res=8).collect()]
+            assert pruned == exact
+
+
+class TestPlantedDups:
+    def test_minhash_finds_planted_near_dup(self, spark):
+        from hex2vec_spark.operators.dedup import minhash_lsh_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep green forest to hide from every hunter")
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("hunter", "tracker"),
+                         "an entirely different document about spark shuffles and parquet files"],
+            })
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_hamming_close_for_near_dup(self, spark):
+        from hex2vec_spark.operators.dedup import simhash_udf
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep green forest to hide from every hunter")
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("hunter", "tracker"),
+                         "完全 different words entirely unrelated content about databases"],
+            })
+        )
+        got = {r["doc_id"]: r["sh"] for r in
+               df.select("doc_id", simhash_udf()(F.col("text")).alias("sh")).collect()}
+        d12 = bin((got[1] ^ got[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        d13 = bin((got[1] ^ got[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert d12 <= 8 < d13
+
+
 class TestWinnow:
     def test_shared_run_shares_fingerprint(self, spark):
         from hex2vec_spark.operators.text import winnow_fingerprints
