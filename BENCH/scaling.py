@@ -37,7 +37,7 @@ import bench
 
 cpus = int(sys.argv[1]); input_path = sys.argv[2]; res = int(sys.argv[3])
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus * 2, 8))
+                  shuffle_partitions=max(cpus, 8))
 tiling_sdf, _ = bench.materialize_tiling(spark, res)
 for _ in range(2):                         # JIT + numpy page warmup
     bench.run_flagship(spark, input_path, tiling_sdf, res)

@@ -23,7 +23,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus) * 2 if cpus.isdigit() else 64, 8)
+        # one shuffle partition per core: AQE coalescing handles small
+        # stages, and measured local runs lose ~25% on the aggregation
+        # with 2x-core partitions (scheduling + final-stage overhead).
+        # Cluster runs override via spark-submit --conf.
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
     mem = os.environ.get("SPARK_GRAFT_MEM", "48g")
     b = (
         SparkSession.builder.appName(app_name)
