@@ -155,20 +155,31 @@ def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
 
-    cos_thresh = np.cos(STRAY_RAD + _CIRC_RAD[res] + 0.02)
+    cos_thresh = np.float32(np.cos(STRAY_RAD + _CIRC_RAD[res] + 0.02))
     if res >= 3:
-        face = np.argmax(xyz @ ic.FACE_CENTER.T, axis=1)
-        cand_bc_all = ic.FACE_ANCHOR_BC[face]  # (N, 16)
-        ctr = ic.BC_CENTER[cand_bc_all]  # (N, 16, 3)
-        cosang = np.matmul(ctr, xyz[:, :, None])[:, :, 0]
+        # scoring runs in float32 (the 0.02 rad slack in the threshold
+        # dwarfs f32 error) and per-face GEMM: grouping rows by nearest
+        # face turns the (N,16,3) center gather + batched dot — which
+        # this host's first-touch page faults make the dominant encode
+        # cost — into <=20 small (m,3)@(3,16) BLAS calls on views.
+        xyz32 = xyz.astype(np.float32)
+        face = np.argmax(xyz32 @ ic.FACE_CENTER.astype(np.float32).T, axis=1)
+        cand_bc_all = ic.FACE_ANCHOR_BC[face].astype(np.int16)  # (N, 16)
+        cosang = np.empty((n, 16), dtype=np.float32)
+        for f in np.unique(face):
+            m = face == f
+            anchors = ic.FACE_ANCHOR_BC[f]
+            cosang[m] = xyz32[m] @ ic.BC_CENTER[anchors].astype(np.float32).T
     else:
-        cand_bc_all = np.broadcast_to(np.arange(NUM := 122), (n, 122))
-        cosang = xyz @ ic.BC_CENTER.T
+        cand_bc_all = np.broadcast_to(
+            np.arange(122, dtype=np.int16), (n, 122)
+        )
+        cosang = (xyz.astype(np.float32) @ ic.BC_CENTER.astype(np.float32).T)
 
     in_rad = cosang >= cos_thresh
     # candidate bc ids sorted ascending, invalid -> 999 (first consistent
     # in this order == lowest-id consistent)
-    cand_sorted = np.where(in_rad, cand_bc_all, 999)
+    cand_sorted = np.where(in_rad, cand_bc_all, np.int16(999))
     cand_sorted.sort(axis=1)
     # ensure at least one candidate: nearest center as a last resort
     none = cand_sorted[:, 0] == 999
