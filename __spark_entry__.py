@@ -25,16 +25,17 @@ _STOP = "('the','a','an','and','or','of','to','in','is','it','that','for','on','
 
 
 def _images(spark: SparkSession, n: int = QUERY_N_IMAGES) -> DataFrame:
-    from hex2vec_spark.sources.synth import images_table
+    from hex2vec_spark.sources.synth import images_table_cached
 
-    return images_table(spark, n)
+    return images_table_cached(spark, n)
 
 
 def _tiling_sdf(spark: SparkSession, res: int = ENTRY_RES) -> DataFrame:
-    from hex2vec_spark.operators.spatial import build_tiling
-    from hex2vec_spark.sources.synth import regions_pandas
+    # parquet-backed (a plan-embedded local relation makes every action
+    # re-serialize the 55k-cell dimension; see spatial.tiling_table)
+    from hex2vec_spark.operators.spatial import tiling_table
 
-    return spark.createDataFrame(build_tiling(regions_pandas(), res=res))
+    return tiling_table(spark, res=res)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -386,6 +387,99 @@ def _q_join3_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    # TPC-H Q6 shape: tight filter + single global agg — the pushdown
+    # showcase (every predicate reaches the parquet scan; see
+    # tests/test_plans.py::TestScanPlans)
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    # TPC-H Q3 shape: segment filter -> 3-way join -> group -> top-k
+    c = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .limit(10)
+    )
+
+
+def _q_exists_agg(spark, sf_dir):
+    # TPC-H Q4 shape: correlated EXISTS (semi-join) -> count per priority
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li.select("l_orderkey").distinct(), o["o_orderkey"] == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_conditional_agg(spark, sf_dir):
+    # TPC-H Q12 shape: join + CASE-sum split by a priority class
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("double").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("double").alias("low_line_count"),
+        )
+    )
+
+
+def _q_scalar_subquery(spark, sf_dir):
+    # scalar-subquery filter: parts priced above the global average
+    p = _load(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice")).first()[0]
+    return (
+        p.where(F.col("p_retailprice") > avg_price)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
+_BAL_BUCKETS = [(-100000.0, 0.0, "neg"), (0.0, 3000.0, "low"), (3000.0, 7000.0, "mid"), (7000.0, 100000.0, "high")]
+
+
+def _q_range_join(spark, sf_dir):
+    # broadcast range join: fact value binned against a tiny interval dim
+    # (the engine's non-equi surface; H3-prefix ranges use the same shape)
+    s = _load(spark, sf_dir, "supplier")
+    b = spark.createDataFrame(_BAL_BUCKETS, "lo double, hi double, bucket string")
+    return (
+        s.join(F.broadcast(b), (s["s_acctbal"] >= b["lo"]) & (s["s_acctbal"] < b["hi"]))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+    )
+
+
 def _q_windowed_counts(spark, sf_dir):
     # event-time tumbling window counts (batch form of the streaming
     # windowed_event_counts operator)
@@ -417,6 +511,17 @@ def _q_assignments(spark, sf_dir):
 
     return spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES).select(
         "image_id", "h3", "region_id"
+    )
+
+
+def _q_polygon_assign(spark, sf_dir):
+    # J1(b): polygon objects -> intersect-cover -> explode -> equi-join
+    from hex2vec_spark.operators.spatial import polygon_spatial_join
+    from hex2vec_spark.sources.synth import polygon_objects_table
+
+    objs = polygon_objects_table(spark, 800)
+    return polygon_spatial_join(objs, _tiling_sdf(spark), res=ENTRY_RES).select(
+        "obj_id", "h3", "region_id"
     )
 
 
@@ -588,10 +693,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "join3_revenue": _q_join3_revenue,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q3": _q_tpch_q3,
+        "exists_agg": _q_exists_agg,
+        "conditional_agg": _q_conditional_agg,
+        "scalar_subquery": _q_scalar_subquery,
+        "range_join": _q_range_join,
         "windowed_counts": _q_windowed_counts,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
+        "polygon_assign": _q_polygon_assign,
         "context_pairs": _q_context_pairs,
         "knn_centroids": _q_knn_centroids,
         "knn_centroids_pruned": _q_knn_centroids_pruned,
@@ -821,6 +933,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
                    event_type, COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate  > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "exists_agg": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "conditional_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS DOUBLE) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS DOUBLE) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "scalar_subquery": """
+            SELECT p_brand, COUNT(*) AS n, ROUND(AVG(p_retailprice), 2) AS avg_price
+            FROM part
+            WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+            GROUP BY p_brand
+        """,
+        "range_join": """
+            SELECT bucket, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS sum_bal
+            FROM supplier
+            JOIN (VALUES (-100000.0, 0.0, 'neg'), (0.0, 3000.0, 'low'),
+                         (3000.0, 7000.0, 'mid'), (7000.0, 100000.0, 'high'))
+                 AS b(lo, hi, bucket)
+              ON s_acctbal >= lo AND s_acctbal < hi
+            GROUP BY bucket
         """,
         "knn_bruteforce": """
             SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (

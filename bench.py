@@ -47,22 +47,13 @@ def cached_flagship_input(spark, n_images: int) -> tuple[str, float]:
 
 
 def materialize_tiling(spark, res: int) -> tuple["object", float]:
-    """Tiling dimension as a parquet-backed DataFrame. A Python-created
-    local relation gets re-serialized driver->JVM on every broadcast
-    build (~1.5s per action for the 377k-cell res-9 tiling); scanning it
-    from parquet keeps the broadcast build JVM-only (~20% off the
-    flagship wall time). At cluster scale the tiling would live as a
-    table anyway — this mirrors that."""
-    from hex2vec_spark.operators.spatial import build_tiling
-    from hex2vec_spark.sources.synth import regions_pandas
+    """Tiling dimension as a parquet-backed DataFrame (see
+    hex2vec_spark.operators.spatial.tiling_table for why parquet)."""
+    from hex2vec_spark.operators.spatial import tiling_table
 
-    path = f"/tmp/hextiling_res{res}"
     t0 = time.time()
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        spark.createDataFrame(build_tiling(regions_pandas(), res=res)).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path), time.time() - t0
+    sdf = tiling_table(spark, res)
+    return sdf, time.time() - t0
 
 
 def run_flagship(spark, input_path: str, tiling_sdf, res: int) -> int:

@@ -92,6 +92,47 @@ def h3_kring_udf(k: int = 1, include_self: bool = True):
     return _udf
 
 
+def h3_cover_udf(res: int = DEFAULT_RES):
+    """(ring_lat, ring_lng) polygon -> array<long> of every res-``res``
+    cell the polygon *intersects* (gpd.sjoin predicate='intersects'
+    semantics for polygon objects, make_dataset.py:96-99). Candidate
+    cells from the padded bbox, exact hex-vs-polygon intersect refine —
+    same kernel pair the tiling build uses (J1b)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(ring_lat: pd.Series, ring_lng: pd.Series) -> pd.Series:
+        from ..hexlib import geom
+
+        out = []
+        for la, ln in zip(ring_lat, ring_lng):
+            la = np.asarray(la, dtype=np.float64)
+            ln = np.asarray(ln, dtype=np.float64)
+            cand = h3core.cells_covering_bbox(la, ln, res, pad_cells=1.0)
+            verts = h3core.cell_boundary(cand)
+            hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], la, ln)
+            out.append(cand[hit].view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
+def h3_polyfill_udf(res: int = DEFAULT_RES):
+    """(ring_lat, ring_lng) polygon -> array<long> of cells whose center
+    is inside (h3.polyfill semantics, make_dataset.py:41)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(ring_lat: pd.Series, ring_lng: pd.Series) -> pd.Series:
+        out = []
+        for la, ln in zip(ring_lat, ring_lng):
+            cells = h3core.polyfill(
+                np.asarray(la, dtype=np.float64), np.asarray(ln, dtype=np.float64), res
+            )
+            out.append(cells.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
 def h3_parent_udf(parent_res: int):
     @F.pandas_udf(LongType())
     def _udf(h: pd.Series) -> pd.Series:

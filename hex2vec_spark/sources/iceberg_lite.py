@@ -84,6 +84,96 @@ def read_snapshot(path: str) -> dict | None:
         return json.load(f)
 
 
+# ------------------------------------------- snapshot history / time travel
+
+def _snapshots_path(path: str) -> str:
+    return os.path.join(_meta_path(path), "snapshots.json")
+
+
+def snapshots(path: str) -> list[dict]:
+    """Snapshot log (oldest first); empty if the table has no commits."""
+    p = _snapshots_path(path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_res: int | None = 4,
+    h3_col: str = "h3",
+    snapshot_extra: dict | None = None,
+) -> dict:
+    """Versioned commit: data files land under ``data/s<id>/`` and a new
+    snapshot is appended to ``_meta/snapshots.json`` recording the set of
+    data dirs visible at that version (Iceberg snapshot-manifest analog;
+    the real spec tracks files — dirs suffice for a layout demo).
+
+    ``mode='append'`` makes the new snapshot see parent dirs + the new
+    one; ``mode='overwrite'`` sees only the new one (old data dirs stay
+    on disk so prior snapshots remain readable — time travel).
+    """
+    log = snapshots(path)
+    snap_id = (log[-1]["id"] + 1) if log else 0
+    rel_dir = f"data/s{snap_id:05d}"
+    out = df
+    parts = []
+    if partition_res is not None and h3_col in df.columns:
+        out = out.withColumn("h3_p4", h3_parent_udf(partition_res)(F.col(h3_col)))
+        parts = ["h3_p4"]
+        out = out.repartitionByRange(F.col("h3_p4"), F.col(h3_col)).sortWithinPartitions(h3_col)
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(os.path.join(path, rel_dir))
+
+    spark = df.sparkSession
+    added = spark.read.parquet(os.path.join(path, rel_dir)).count()
+    parent_dirs = log[-1]["data_dirs"] if (log and mode == "append") else []
+    snap = {
+        "id": snap_id,
+        "parent_id": log[-1]["id"] if log else None,
+        "ts": time.time(),
+        "op": mode,
+        "data_dirs": [*parent_dirs, rel_dir],
+        "added_rows": int(added),
+        "partition_spec": parts,
+        **(snapshot_extra or {}),
+    }
+    log.append(snap)
+    os.makedirs(_meta_path(path), exist_ok=True)
+    tmp = _snapshots_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f, indent=1)
+    os.replace(tmp, _snapshots_path(path))
+    return snap
+
+
+def read_table(spark: SparkSession, path: str, snapshot_id: int | None = None) -> DataFrame:
+    """Read a versioned table at ``snapshot_id`` (default: latest) —
+    the time-travel read: the union of the data dirs that snapshot saw."""
+    log = snapshots(path)
+    if not log:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if snapshot_id is None:
+        snap = log[-1]
+    else:
+        matches = [s for s in log if s["id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"snapshot {snapshot_id} not in {[s['id'] for s in log]}")
+        snap = matches[0]
+    # each data dir is its own partitioned parquet root (snapshot dirs are
+    # not key=value, so one multi-root read can't infer partitions);
+    # union the per-commit reads — dir count == commit count, small
+    from functools import reduce
+
+    parts = [spark.read.parquet(os.path.join(path, d)) for d in snap["data_dirs"]]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
 # ------------------------------------------------------ resumable stages
 
 def _manifest_path(path: str) -> str:

@@ -200,6 +200,86 @@ def images_table(spark, n: int, num_partitions: int | None = None):
     )
 
 
+def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
+    """Parquet-backed images table, content-addressed by row count (the
+    generator is a pure function of the row id). A mapInPandas source
+    regenerates — including the PNG deflate — on every action and blocks
+    column pruning; a parquet scan is generated once and prunes (shared
+    convention with bench.cached_flagship_input)."""
+    import os
+
+    path = os.path.join(base_dir, f"hexscale_cache_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        images_table(spark, n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------- polygon objects
+
+def _geotag_units_for_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (lat, lng) for object ids — the same hot-cell mixing
+    as the images table's phash geotag, but without generating pixels
+    (objects carry geometry, not bytes)."""
+    from ..functions.h3_fns import DEFAULT_BBOX
+
+    u1 = _mix(ids.astype(np.uint64) ^ _U(0x0B7EC7))
+    u2 = _mix(ids.astype(np.uint64) ^ _U(0x9EA7A6))
+    lat_unit = (u1 & _U(0xFFFFFFFF)).astype(np.float64) / 2**32
+    lng_unit = (u2 & _U(0xFFFFFFFF)).astype(np.float64) / 2**32
+    hot = (ids * 2654435761 % 100) < int(HOT_FRACTION * 100)
+    if hot.any():
+        r = (ids[hot] * 40503 % 100) / 100.0
+        which = np.where(r < HOT_WEIGHTS[0], 0, np.where(r < HOT_WEIGHTS[0] + HOT_WEIGHTS[1], 1, 2))
+        units = np.array(HOT_UNITS)
+        lat_unit[hot] = units[which, 0]
+        lng_unit[hot] = units[which, 1]
+    lat0, lat1, lng0, lng1 = DEFAULT_BBOX
+    return lat0 + lat_unit * (lat1 - lat0), lng0 + lng_unit * (lng1 - lng0)
+
+
+def polygon_objects_pandas_ids(ids: np.ndarray, res_hint: int = 8) -> pd.DataFrame:
+    """Deterministic polygon objects (the reference's way/relation
+    geometries): a jittered quad around a deterministic center point,
+    sized 0.5-3 cell widths at ``res_hint`` so most objects span 1-10
+    cells. Pure function of the row id (images-table convention)."""
+    from ..hexlib.h3core import EDGE_LENGTH_M
+
+    ids = np.asarray(ids, dtype=np.int64)
+    clat, clng = _geotag_units_for_ids(ids)
+    cell_deg = np.degrees(EDGE_LENGTH_M[res_hint] * np.sqrt(3.0) / 6_371_008.8)
+    half = cell_deg * (0.25 + 1.25 * ((_mix(ids.astype(np.uint64)) & _U(0xFF)).astype(np.float64) / 255.0))
+    sq = (_mix(ids.astype(np.uint64) ^ _U(0xBEEF)) & _U(0xFF)).astype(np.float64) / 255.0
+    hx = half
+    hy = half * (0.6 + 0.8 * sq)  # aspect jitter
+    return pd.DataFrame(
+        {
+            "obj_id": [f"obj{i:08d}" for i in ids],
+            "ring_lat": [[a - dy, a - dy, a + dy, a + dy] for a, dy in zip(clat, hy)],
+            "ring_lng": [[b - dx, b + dx, b + dx, b - dx] for b, dx in zip(clng, hx)],
+        }
+    )
+
+
+def polygon_objects_pandas(n: int, res_hint: int = 8) -> pd.DataFrame:
+    return polygon_objects_pandas_ids(np.arange(n, dtype=np.int64), res_hint)
+
+
+POLY_SCHEMA = "obj_id string, ring_lat array<double>, ring_lng array<double>"
+
+
+def polygon_objects_table(spark, n: int, num_partitions: int | None = None):
+    """Distributed deterministic polygon-object generation."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield polygon_objects_pandas_ids(pdf["id"].to_numpy())
+
+    return spark.range(0, n, numPartitions=num_partitions).mapInPandas(gen, schema=POLY_SCHEMA)
+
+
 # ------------------------------------------------------------------ regions
 
 def regions_pandas(bbox=DEFAULT_BBOX) -> pd.DataFrame:

@@ -68,6 +68,68 @@ def windowed_event_counts(
     )
 
 
+def stateful_streaming_dedup(
+    images_stream: DataFrame, key_col: str = "caption"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    first-occurrence dedup. State is one boolean per key in the
+    checkpointed state store, so a key emits exactly once across
+    micro-batches AND across restarts — the streaming analog of
+    operators/dedup.exact_dedup for continuously-arriving drops.
+
+    Scale shape: state is partitioned by key hash across executors
+    (the groupBy shuffle); per-key state is O(1) bytes. No watermark:
+    dedup keys never expire (a production variant would timeout state
+    by GroupStateTimeout.ProcessingTimeTimeout to bound the store).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit_first(key, pdfs, state):
+        if state.exists:
+            return
+        for pdf in pdfs:
+            if len(pdf):
+                state.update((True,))
+                yield pd.DataFrame(
+                    {"key": [key[0]], "image_id": [pdf["image_id"].iloc[0]]}
+                )
+                return
+
+    return (
+        images_stream.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            emit_first,
+            outputStructType="key string, image_id string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "caption",
+) -> None:
+    """Drive the stateful dedup over everything currently in
+    ``input_path``; appends newly-first-seen keys to ``output_path``."""
+    dedup = stateful_streaming_dedup(read_image_stream(spark, input_path), key_col)
+    query = (
+        dedup.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", output_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession,
     input_path: str,

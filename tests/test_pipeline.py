@@ -113,6 +113,38 @@ class TestAggregation:
         assert key(s) == key(p)
 
 
+class TestPolygonJoin:
+    def test_polygon_join_rows_exact(self, spark, tiling):
+        # J1(b): the Spark cover->explode->equi-join must equal the
+        # pandas oracle's per-object intersects test against the tiling
+        from hex2vec_spark.hexlib import geom
+        from hex2vec_spark.operators.spatial import polygon_spatial_join
+        from hex2vec_spark.sources.synth import polygon_objects_pandas, polygon_objects_table
+
+        n = 300
+        objs_pdf = polygon_objects_pandas(n)
+        ora_rows = []
+        til_by_cell = tiling.groupby("h3")["region_id"].apply(list)
+        for _, row in objs_pdf.iterrows():
+            la = np.asarray(row["ring_lat"]) ; ln = np.asarray(row["ring_lng"])
+            cand = h3core.cells_covering_bbox(la, ln, RES, pad_cells=1.0)
+            verts = h3core.cell_boundary(cand)
+            hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], la, ln)
+            for c in cand[hit].view(np.int64):
+                for rid in til_by_cell.get(int(c), []):
+                    ora_rows.append((row["obj_id"], int(c), rid))
+        eng = (
+            polygon_spatial_join(polygon_objects_table(spark, n), spark.createDataFrame(tiling), res=RES)
+            .select("obj_id", "h3", "region_id")
+            .toPandas()
+        )
+        got = sorted(map(tuple, eng.to_numpy()))
+        assert got == sorted(ora_rows)
+        # most objects span >1 cell (the shape J1b exists for)
+        per_obj = eng.groupby("obj_id").size()
+        assert (per_obj > 1).mean() > 0.5
+
+
 class TestNeighbors:
     def test_context_pairs_match_oracle(self, spark, oracle_images):
         from hex2vec_spark.operators.neighbors import context_pairs

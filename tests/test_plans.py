@@ -1,0 +1,118 @@
+"""Physical-plan audits (SURVEY.md §2.10 "plan audit" gates): the
+engine's operators must not just produce correct rows — they must pick
+the physical strategy the 100 TB design depends on.
+
+  * J1 spatial join: BroadcastHashJoin on the tiling dimension, never a
+    SortMergeJoin (the 10^12-row fact side is never shuffled).
+  * W1 top-k: TakeOrderedAndProject (per-partition heap), never a global
+    Sort + Limit.
+  * Parquet scans: filters pushed down (PushedFilters) and columns
+    pruned (ReadSchema carries only what the query needs).
+  * A1 salted agg: two-phase partial aggregation visible in the plan.
+
+Plus snapshot history / time-travel reads for the iceberg-lite layout.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestJoinPlans:
+    def test_spatial_join_broadcasts_tiling(self, spark):
+        from hex2vec_spark.operators.spatial import spatial_join, tiling_table
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 100)
+        plan = plan_of(spatial_join(img, tiling_table(spark, res=8), res=8))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_semi_and_anti_joins_broadcast_small_side(self, spark):
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        semi = c.join(
+            F.broadcast(o.select("o_custkey").distinct()),
+            c["c_custkey"] == F.col("o_custkey"),
+            "left_semi",
+        )
+        plan = plan_of(semi)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestScanPlans:
+    def test_filter_pushdown_and_column_pruning(self, spark):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+        plan = plan_of(q)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan(l_quantity" in plan
+        # ReadSchema must carry only the two needed columns
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+    def test_partition_layout_prunes_files(self, spark, tmp_path):
+        # h3_p4-partitioned layout: a parent-cell predicate prunes
+        # partitions at planning time (Iceberg partition-transform analog)
+        from hex2vec_spark.operators.spatial import assign_h3
+        from hex2vec_spark.sources.iceberg_lite import write_table
+        from hex2vec_spark.sources.synth import images_table
+
+        df = assign_h3(images_table(spark, 300), res=8).select("image_id", "h3")
+        write_table(df, str(tmp_path / "tbl"), partition_res=4)
+        back = spark.read.parquet(str(tmp_path / "tbl"))
+        one_parent = back.select("h3_p4").first()["h3_p4"]
+        pruned = back.where(F.col("h3_p4") == one_parent)
+        plan = plan_of(pruned)
+        # partition filters appear as PartitionFilters on the scan node
+        assert "PartitionFilters" in plan and "h3_p4" in plan
+
+
+class TestTopKPlans:
+    def test_topk_is_take_ordered(self, spark):
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        q = o.orderBy(F.desc("o_totalprice")).limit(10)
+        assert "TakeOrderedAndProject" in plan_of(q)
+
+    def test_salted_agg_is_two_phase(self, spark):
+        from hex2vec_spark.operators.agg import salted_count
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        q = salted_count(li, ["l_returnflag"], salt_src="l_orderkey")
+        plan = plan_of(q)
+        # two logical groupBys -> at least two HashAggregate pairs, and
+        # the salt expression (pmod of a hash) feeds the partial phase
+        assert plan.count("HashAggregate") >= 4
+        assert "pmod" in plan and "xxhash64" in plan
+
+
+class TestTimeTravel:
+    def test_snapshot_history_and_time_travel(self, spark, tmp_path):
+        from hex2vec_spark.operators.spatial import assign_h3
+        from hex2vec_spark.sources.iceberg_lite import commit_table, read_table, snapshots
+        from hex2vec_spark.sources.synth import images_table
+
+        tbl = str(tmp_path / "versioned")
+        base = assign_h3(images_table(spark, 200), res=8).select("image_id", "h3")
+        s0 = commit_table(base.where(F.col("image_id") < "img0000000100"), tbl)
+        s1 = commit_table(base.where(F.col("image_id") >= "img0000000100"), tbl, mode="append")
+        assert [s["id"] for s in snapshots(tbl)] == [0, 1]
+        assert read_table(spark, tbl, snapshot_id=0).count() == 100
+        assert read_table(spark, tbl).count() == 200
+        assert s1["parent_id"] == s0["id"]
+
+        # overwrite commit: new snapshot sees only new data, old
+        # snapshots stay readable
+        commit_table(base.limit(10), tbl, mode="overwrite")
+        assert read_table(spark, tbl).count() == 10
+        assert read_table(spark, tbl, snapshot_id=1).count() == 200
+        with pytest.raises(KeyError):
+            read_table(spark, tbl, snapshot_id=99)

@@ -20,6 +20,34 @@ def _write_chunk(spark, pdf: pd.DataFrame, path: str, name: str) -> None:
     sdf.coalesce(1).write.mode("append").parquet(path)
 
 
+def test_stateful_dedup_exactly_once_across_restarts(spark, tmp_path):
+    from hex2vec_spark.streaming.ingest import run_dedup_available_now
+
+    inp = str(tmp_path / "drops")
+    out = str(tmp_path / "uniq")
+    ck = str(tmp_path / "ck")
+    all_pdf = images_pandas(500)
+
+    # drop 1
+    _write_chunk(spark, all_pdf.iloc[:300], inp, "c1")
+    run_dedup_available_now(spark, inp, out, ck)
+    got1 = spark.read.parquet(out).toPandas()
+    want1 = set(all_pdf.iloc[:300]["caption"])
+    assert set(got1["key"]) == want1
+    assert len(got1) == len(want1)  # each key exactly once
+
+    # drop 2: new rows PLUS a replay of the first 100 (guaranteed
+    # caption overlap); restart from checkpointed state
+    drop2 = pd.concat([all_pdf.iloc[300:], all_pdf.iloc[:100]], ignore_index=True)
+    _write_chunk(spark, drop2, inp, "c2")
+    run_dedup_available_now(spark, inp, out, ck)
+    got2 = spark.read.parquet(out).toPandas()
+    assert set(got2["key"]) == set(all_pdf["caption"])
+    # keys already seen in drop 1 were NOT re-emitted after the restart
+    assert len(got2) == len(set(all_pdf["caption"]))
+    assert len(want1 & set(drop2["caption"])) > 0
+
+
 def test_available_now_resume_matches_batch(spark, tmp_path):
     tiling = build_tiling(regions_pandas(), res=RES)
     tiling_sdf = spark.createDataFrame(tiling)
