@@ -161,6 +161,45 @@ def _q_salted_agg(spark, sf_dir):
     )
 
 
+def _q_adaptive_salted_agg(spark, sf_dir):
+    # M4 skew handling: sampled heavy-hitter estimate -> per-key salt
+    # factor; result == plain GROUP BY for any sample outcome
+    from hex2vec_spark.operators.agg import adaptive_salted_count
+
+    li = _load(spark, sf_dir, "lineitem")
+    return adaptive_salted_count(
+        li, ["l_returnflag", "l_linestatus"], salt_src="l_orderkey", count_alias="count"
+    )
+
+
+def _q_value_sets(spark, sf_dir):
+    # A7 true set semantics: key -> sorted distinct-value list
+    # (cluster-word2vec.ipynb cell 12 groupby().apply(set))
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
+
+
+def _q_mercator_xy(spark, sf_dir):
+    # F3: EPSG:4326 -> 3857 closed-form reprojection as JVM expressions
+    # (whole-stage codegen; the Arrow-UDF variant lives in hexlib.geom)
+    import math
+
+    emb = _load(spark, sf_dir, "embeddings")
+    # cast float32 components to double BEFORE arithmetic: both engines
+    # must promote at the same point or they differ at ~1e-8 relative
+    lat = F.greatest(
+        F.least(F.element_at(F.col("embedding"), 1).cast("double") * 60.0, F.lit(85.0)),
+        F.lit(-85.0),
+    )
+    lng = F.element_at(F.col("embedding"), 2).cast("double") * 180.0
+    r = 6378137.0
+    x = F.radians(lng) * r
+    y = F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2)) * r
+    return emb.select("vec_id", F.round(x, 4).alias("x"), F.round(y, 4).alias("y"))
+
+
 def _q_presence_counts(spark, sf_dir):
     # A3: conditional presence sums (make_dataset.py:174-190)
     ev = _load(spark, sf_dir, "events")
@@ -609,6 +648,25 @@ def _q_knn_ivf(spark, sf_dir):
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def _q_knn_ivf_index(spark, sf_dir):
+    # IVF index *at rest*: corpus rewritten partitioned by inverted-list
+    # id; the probe scans only n_probe/n_lists partitions (file pruning)
+    import os
+
+    from hex2vec_spark.operators.knn import build_ivf_index, query_ivf_index
+
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/hexivf_{tag}"
+    if not os.path.exists(os.path.join(path, "_meta", "ivf.json")):
+        build_ivf_index(corpus, path, n_lists=8)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = query_ivf_index(spark, path, query, k=10, n_probe=4)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
 def _q_knn_lsh(spark, sf_dir):
     # ANN alternative: random-hyperplane LSH bucket probe
     from hex2vec_spark.operators.knn import cosine_topk_lsh
@@ -670,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_group_topk": _q_per_group_topk,
         "group_pivot": _q_group_pivot,
         "salted_agg": _q_salted_agg,
+        "adaptive_salted_agg": _q_adaptive_salted_agg,
+        "value_sets": _q_value_sets,
+        "mercator_xy": _q_mercator_xy,
         "presence_counts": _q_presence_counts,
         "counts_desc": _q_counts_desc,
         "distinct_per_key": _q_distinct_per_key,
@@ -714,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hex_bins": _q_tile_hex_bins,
         "image_stats": _q_image_stats,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_index": _q_knn_ivf_index,
         "knn_lsh": _q_knn_lsh,
         "strict_pip": _q_strict_pip,
         "resize_images": _q_resize_images,
@@ -778,6 +840,23 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": """
             SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS DOUBLE) AS count
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "adaptive_salted_agg": """
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS DOUBLE) AS count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "value_sets": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+            FROM events GROUP BY user_id
+        """,
+        "mercator_xy": """
+            SELECT vec_id,
+                   ROUND(radians(CAST(embedding[2] AS DOUBLE) * 180.0) * 6378137.0, 4) AS x,
+                   ROUND(ln(tan(pi()/4 + radians(
+                       GREATEST(LEAST(CAST(embedding[1] AS DOUBLE) * 60.0, 85.0), -85.0)) / 2))
+                       * 6378137.0, 4) AS y
+            FROM embeddings
         """,
         "presence_counts": """
             SELECT user_id,

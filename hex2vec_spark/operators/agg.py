@@ -47,6 +47,61 @@ def plain_count(df: DataFrame, keys: list[str], count_alias: str = "count") -> D
     return df.groupBy(*keys).agg(F.count(F.lit(1)).cast("double").alias(count_alias))
 
 
+def estimate_heavy_keys(
+    df: DataFrame,
+    keys: list[str],
+    sample_frac: float = 0.02,
+    hot_share: float = 0.005,
+    seed: int = 7,
+) -> list[tuple[tuple, float]]:
+    """Sampled heavy-hitter estimate (SURVEY.md M4 'hot-key detection'):
+    count keys over a small row sample, return [(key_tuple, share)] for
+    keys whose estimated share of all rows exceeds ``hot_share``. Cost:
+    one pass over sample_frac of the data; the result is tiny (hot keys
+    are by definition few) and safe to collect."""
+    sample = df.sample(fraction=sample_frac, seed=seed).select(*keys)
+    counts = sample.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    total = sample.count() or 1
+    # threshold BEFORE collect: only the (few) hot keys reach the driver
+    rows = counts.where(F.col("_n") >= hot_share * total).collect()
+    return [(tuple(r[k] for k in keys), r["_n"] / total) for r in rows]
+
+
+def adaptive_salted_count(
+    df: DataFrame,
+    keys: list[str],
+    salt_src: str = "image_id",
+    sample_frac: float = 0.02,
+    hot_share: float = 0.005,
+    seed: int = 7,
+    count_alias: str = "count",
+) -> DataFrame:
+    """Skew-aware two-phase count with a *per-key* salt factor: hot keys
+    (sampled heavy-hitter estimate) are split across enough reducers to
+    bring their largest salted sub-group down to roughly one partition's
+    fair share; cold keys keep salt factor 1 — no shuffle fan-out where
+    none is needed. The fixed-salt variant (``salted_count``) fans every
+    group out n_salt ways; at 10^12 rows that multiplies the final-agg
+    input 16x for no benefit on the long tail of cold cells.
+
+    Result is identical to the plain GROUP BY for any sample outcome
+    (the salt only splits work); asserted in tests + the DuckDB oracle.
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hot = estimate_heavy_keys(df, keys, sample_frac, hot_share, seed)
+    if not hot:
+        return plain_count(df, keys, count_alias)
+    dim = spark.createDataFrame(
+        [(*k, max(2, int(share * n_part * 2 + 1))) for k, share in hot],
+        df.select(*keys).schema.add("_factor", "integer"),
+    )
+    with_f = df.join(F.broadcast(dim), keys, "left").na.fill({"_factor": 1})
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.col("_factor")).alias("_salt")
+    partial = with_f.groupBy(*keys, salt).agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").cast("double").alias(count_alias))
+
+
 def hex_features(
     assignments: DataFrame, n_salt: int = 16, salted: bool = True
 ) -> DataFrame:

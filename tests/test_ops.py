@@ -51,6 +51,74 @@ class TestANN:
         assert sims == sorted(sims, reverse=True)
 
 
+class TestIvfIndexAtRest:
+    def test_persisted_probe_matches_inline_ivf(self, spark, emb, tmp_path):
+        from hex2vec_spark.operators.knn import (
+            build_ivf_index, cosine_topk_ivf, query_ivf_index,
+        )
+
+        row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+        q = [float(x) for x in row["embedding"]]
+        rest = emb.where(F.col("vec_id") != 0)
+        path = str(tmp_path / "ivf")
+        meta = build_ivf_index(rest, path, n_lists=8)
+        assert meta["n_lists"] == 8 and len(meta["centroids"]) == 8
+        persisted = [
+            (r["vec_id"], round(r["sim"], 6))
+            for r in query_ivf_index(spark, path, q, k=10, n_probe=4).collect()
+        ]
+        inline = [
+            (r["vec_id"], round(r["sim"], 6))
+            for r in cosine_topk_ivf(rest, q, k=10, n_lists=8, n_probe=4).collect()
+        ]
+        assert persisted == inline  # same centroids/seed -> same lists
+
+    def test_probe_prunes_partitions(self, spark, emb, tmp_path):
+        from hex2vec_spark.operators.knn import build_ivf_index
+        from tests.test_plans import plan_of
+
+        path = str(tmp_path / "ivf")
+        build_ivf_index(emb, path, n_lists=8)
+        probe = spark.read.parquet(path).where(F.col("_list").isin([0, 3]))
+        plan = plan_of(probe)
+        assert "PartitionFilters" in plan and "_list" in plan
+
+
+class TestAdaptiveSalting:
+    def test_detects_planted_hot_cells(self, spark):
+        from hex2vec_spark.functions.h3_fns import h3_from_phash
+        from hex2vec_spark.operators.agg import estimate_heavy_keys
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 3000).withColumn("h3", h3_from_phash(F.col("phash")))
+        hot = estimate_heavy_keys(img, ["h3"], sample_frac=0.5, hot_share=0.02)
+        # FIXTURES: 3 Zipfian hot cells hold ~20% of rows; the largest
+        # alone ~12% -> must surface at a 2% share threshold
+        assert len(hot) >= 1
+        assert max(share for _, share in hot) > 0.05
+
+    def test_adaptive_equals_plain(self, spark):
+        from hex2vec_spark.functions.h3_fns import h3_from_phash
+        from hex2vec_spark.operators.agg import adaptive_salted_count, plain_count
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 3000).withColumn("h3", h3_from_phash(F.col("phash")))
+        a = adaptive_salted_count(img, ["h3"], salt_src="image_id", sample_frac=0.3).toPandas()
+        p = plain_count(img, ["h3"]).toPandas()
+        key = lambda d: sorted(map(tuple, d[["h3", "count"]].to_numpy()))
+        assert key(a) == key(p)
+
+    def test_no_hot_keys_degenerates_to_plain(self, spark):
+        from hex2vec_spark.operators.agg import adaptive_salted_count, plain_count
+
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        # c_custkey is unique -> no key passes any hot threshold
+        a = adaptive_salted_count(c, ["c_nationkey"], salt_src="c_custkey", hot_share=0.99).toPandas()
+        p = plain_count(c, ["c_nationkey"]).toPandas()
+        key = lambda d: sorted(map(tuple, d[["c_nationkey", "count"]].to_numpy()))
+        assert key(a) == key(p)
+
+
 class TestKnnCentroidsPruned:
     def test_equals_exact_scan(self, spark):
         from hex2vec_spark.operators.knn import knn_cell_centroids, knn_cell_centroids_pruned
