@@ -564,6 +564,23 @@ def _q_polygon_assign(spark, sf_dir):
     )
 
 
+def _q_pipeline_e2e(spark, sf_dir):
+    # entry point A end-to-end: resumable assign stage -> salted feature
+    # agg -> versioned snapshot commit -> S7 read-back (fresh temp root
+    # per call; determinism of the result is pandas-oracle-tested)
+    import tempfile
+
+    from hex2vec_spark.plans.pipeline import build_dataset, load_processed
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    root = tempfile.mkdtemp(prefix="hexds_")
+    build_dataset(
+        spark, _images(spark, 2000), regions_pandas(), root,
+        res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
+    )
+    return load_processed(spark, root).select("region_id", "h3", "feature", "count")
+
+
 def _q_context_pairs(spark, sf_dir):
     from hex2vec_spark.operators.neighbors import context_pairs
     from hex2vec_spark.operators.spatial import assign_h3
@@ -765,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
         "polygon_assign": _q_polygon_assign,
+        "pipeline_e2e": _q_pipeline_e2e,
         "context_pairs": _q_context_pairs,
         "knn_centroids": _q_knn_centroids,
         "knn_centroids_pruned": _q_knn_centroids_pruned,

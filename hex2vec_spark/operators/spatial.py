@@ -80,22 +80,32 @@ def build_tiling_cached(
     return _TILING_MEMO[key]
 
 
+def write_tiling_parquet(pdf: pd.DataFrame, path: str) -> None:
+    """Write the tiling dimension as parquet directly via pyarrow —
+    ``spark.createDataFrame`` embeds a local relation in the plan and the
+    driver->JVM serialization of ~50k rows is erratic in this sandbox
+    (measured 2s-70s on the first action against it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf[["region_id", "h3"]], preserve_index=False),
+        os.path.join(path, "part-0.parquet"),
+    )
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
 def tiling_table(spark, res: int = DEFAULT_RES, base_dir: str = "/tmp") -> DataFrame:
     """The tiling dimension as a parquet-backed DataFrame over the default
     synthetic regions (content-addressed cache under ``base_dir``).
-
-    A Python-created local relation is embedded in every plan that uses
-    it: the driver re-serializes ~50k rows per action and the first
-    broadcast build against it is erratic (measured 2s-70s in this
-    sandbox). Scanning parquet keeps the broadcast build JVM-only and
-    stable (~1.3s). At cluster scale the tiling would live as a table
-    anyway — this mirrors that."""
+    Scanning parquet keeps every broadcast build JVM-only and stable; at
+    cluster scale the tiling would live as a table anyway."""
     from ..sources.synth import regions_pandas
 
     path = os.path.join(base_dir, f"hextiling_res{res}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        pdf = build_tiling_cached(regions_pandas(), res=res)
-        spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+        write_tiling_parquet(build_tiling_cached(regions_pandas(), res=res), path)
     return spark.read.parquet(path)
 
 

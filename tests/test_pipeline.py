@@ -173,6 +173,47 @@ class TestNeighbors:
         assert got == ora_u
 
 
+class TestEndToEndBuild:
+    def test_build_dataset_matches_oracle(self, spark, oracle_images, tiling, tmp_path):
+        from hex2vec_spark.plans.pipeline import build_dataset, load_processed
+        from hex2vec_spark.sources.synth import images_table, regions_pandas
+
+        root = str(tmp_path / "ds")
+        snap = build_dataset(
+            spark, images_table(spark, N), regions_pandas(), root,
+            res=RES, n_buckets=4, input_fingerprint="e2e",
+        )
+        assert snap["id"] == 0 and snap["added_rows"] > 0
+
+        got = load_processed(spark, root).toPandas()
+        # oracle: per-(region, h3, feature) counts over the exact join rows
+        ora = oracle_assignments(oracle_images, tiling)
+        ora["feature"] = ora["caption"].str.split(";")
+        ora = ora.explode("feature")
+        ora["feature"] = ora["feature"].str.strip()
+        ora = ora[ora["feature"] != ""]
+        ora = (
+            ora.groupby(["region_id", "h3", "feature"]).size().reset_index(name="count")
+        )
+        key = lambda d: sorted(map(tuple, d[["region_id", "h3", "feature", "count"]].astype(
+            {"count": float}).to_numpy()))
+        assert key(got[["region_id", "h3", "feature", "count"]]) == key(ora)
+
+    def test_load_processed_filters(self, spark, tmp_path):
+        from hex2vec_spark.plans.pipeline import build_dataset, load_processed
+        from hex2vec_spark.sources.synth import images_table, regions_pandas
+
+        root = str(tmp_path / "ds2")
+        build_dataset(spark, images_table(spark, 500), regions_pandas(), root,
+                      res=RES, n_buckets=2, adaptive_salt=True)
+        sel = load_processed(spark, root, select_regions=["r00", "r01"]).toPandas()
+        assert set(sel["region_id"]) <= {"r00", "r01"}
+        dropped = load_processed(spark, root, drop_regions=["r00"]).toPandas()
+        assert "r00" not in set(dropped["region_id"])
+        pref = load_processed(spark, root, feature_prefixes=["ca"]).toPandas()
+        assert pref["feature"].str.startswith("ca").all() and len(pref) > 0
+
+
 class TestResume:
     def test_run_stage_resumes(self, spark, tmp_path):
         import json
