@@ -589,6 +589,24 @@ def _q_context_pairs(spark, sf_dir):
     return context_pairs(corpus, k=1)
 
 
+def _q_neg_samples(spark, sf_dir):
+    # J6: k_ring(2)-excluded deterministic negative sampling
+    from hex2vec_spark.operators.neighbors import sample_negatives
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = assign_h3(_images(spark, 1000), res=ENTRY_RES).select("h3").distinct()
+    return sample_negatives(corpus, n_per_input=2)
+
+
+def _q_h3_strings(spark, sf_dir):
+    # F2 presentation edge: long cell id -> 15-char hex string
+    from hex2vec_spark.functions.viz import with_h3_str
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    cells = assign_h3(_images(spark, 1000), res=ENTRY_RES).select("h3").distinct()
+    return with_h3_str(cells).select("h3", "h3_str")
+
+
 def _q_knn_centroids(spark, sf_dir):
     from hex2vec_spark.operators.knn import knn_cell_centroids
     from hex2vec_spark.operators.spatial import assign_h3
@@ -784,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_assign": _q_polygon_assign,
         "pipeline_e2e": _q_pipeline_e2e,
         "context_pairs": _q_context_pairs,
+        "neg_samples": _q_neg_samples,
+        "h3_strings": _q_h3_strings,
         "knn_centroids": _q_knn_centroids,
         "knn_centroids_pruned": _q_knn_centroids_pruned,
         "phash_near_dup": _q_phash_near_dup,

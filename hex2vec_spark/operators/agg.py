@@ -32,12 +32,14 @@ def salted_count(
     df: DataFrame,
     keys: list[str],
     salt_src: str = "image_id",
-    n_salt: int = 16,
+    n_salt: int = 8,
     count_alias: str = "count",
 ) -> DataFrame:
     """Two-phase skew-safe count: groupBy(keys + salt) partial count,
     then groupBy(keys) final sum. Salt = hash of a high-cardinality
-    column so hot groups split evenly."""
+    column so hot groups split evenly. Default n_salt=8 measured ~10%
+    faster than 16 on the 6M-row flagship (smaller partial-agg state)
+    while still splitting a 10^8-row hot group below reducer size."""
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salt)).alias("_salt")
     partial = df.groupBy(*keys, salt).agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("double").alias(count_alias))
@@ -86,6 +88,12 @@ def adaptive_salted_count(
 
     Result is identical to the plain GROUP BY for any sample outcome
     (the salt only splits work); asserted in tests + the DuckDB oracle.
+
+    COST NOTE: the heavy-hitter sample re-executes ``df``'s lineage
+    (twice: count + thresholded collect). Use it on source-backed or
+    cached DataFrames; for a derived pipeline either cache upstream or
+    prefer fixed-salt ``salted_count`` (measured: sampling a 6M-row
+    explode pipeline costs more than fixed salt saves).
     """
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))

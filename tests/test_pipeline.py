@@ -214,6 +214,60 @@ class TestEndToEndBuild:
         assert pref["feature"].str.startswith("ca").all() and len(pref) > 0
 
 
+class TestNegativeSampling:
+    def test_negatives_outside_kring2_and_bounded(self, spark, oracle_images):
+        from hex2vec_spark.operators.neighbors import sample_negatives
+
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy())
+        cells = np.unique(h3core.encode(lat, lng, RES))
+        corpus = spark.createDataFrame(pd.DataFrame({"h3": cells.view(np.int64)}))
+        negs = sample_negatives(corpus, n_per_input=2, k_excl=2).toPandas()
+        assert len(negs) > 0
+        per_input = negs.groupby("input_h3").size()
+        assert (per_input <= 2).all()
+        # property: every sampled negative is outside k_ring(input, 2)
+        for inp, grp in negs.groupby("input_h3"):
+            ring = set(
+                h3core.kring_flat(np.array([np.int64(inp)]).view(np.uint64), 2)[1]
+                .view(np.int64).tolist()
+            )
+            assert not (set(grp["neg_h3"]) & ring)
+
+    def test_deterministic(self, spark, oracle_images):
+        from hex2vec_spark.operators.neighbors import sample_negatives
+
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy()[:500])
+        cells = np.unique(h3core.encode(lat, lng, RES))
+        corpus = spark.createDataFrame(pd.DataFrame({"h3": cells.view(np.int64)}))
+        a = sample_negatives(corpus, n_per_input=2).toPandas()
+        b = sample_negatives(corpus, n_per_input=2).toPandas()
+        key = lambda d: sorted(map(tuple, d.to_numpy()))
+        assert key(a) == key(b)
+
+
+class TestViz:
+    def test_geojson_roundtrip(self, spark, oracle_images):
+        import json
+
+        from hex2vec_spark.functions.viz import cells_to_geojson, with_h3_str
+
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy()[:200])
+        cells = np.unique(h3core.encode(lat, lng, RES))
+        pdf = pd.DataFrame({"h3": cells.view(np.int64), "count": np.arange(len(cells)) * 1.0})
+        gj = json.loads(cells_to_geojson(pdf))
+        assert gj["type"] == "FeatureCollection" and len(gj["features"]) == len(cells)
+        f0 = gj["features"][0]
+        ring = f0["geometry"]["coordinates"][0]
+        assert ring[0] == ring[-1] and len(ring) == 7  # closed hexagon
+        # string id round-trips to the same cell
+        back = h3core.string_to_h3(np.array([f0["properties"]["h3"]]))
+        assert int(back.view(np.int64)[0]) == int(pdf["h3"].iloc[0])
+        # Spark-side presentation column agrees with the kernel
+        sdf = with_h3_str(spark.createDataFrame(pdf[["h3"]])).toPandas()
+        strs = h3core.h3_to_string(sdf["h3"].to_numpy().astype(np.int64).view(np.uint64))
+        assert (sdf["h3_str"].to_numpy() == strs).all()
+
+
 class TestResume:
     def test_run_stage_resumes(self, spark, tmp_path):
         import json
