@@ -111,8 +111,17 @@ def tiling_table(spark, res: int = DEFAULT_RES, base_dir: str = "/tmp") -> DataF
 
 def assign_h3(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     """Add the H3 cell column from the geotag convention (J1a: points
-    need no geometric test — h3_encode *is* the spatial join key)."""
-    return images.withColumn("h3", h3_from_phash_res(res)(F.col("phash")))
+    need no geometric test — h3_encode *is* the spatial join key).
+
+    The UDF is wrapped in coalesce(.., -1): a nullable Python-UDF join
+    key makes Catalyst extract the UDF TWICE (once for the join's
+    IsNotNull filter, once for the key projection — two ArrowEvalPython
+    nodes, measured 27% slower on the 6M-row flagship); coalesce folds
+    the null check away so the UDF runs once. The kernel never returns
+    null, so -1 never materializes."""
+    return images.withColumn(
+        "h3", F.coalesce(h3_from_phash_res(res)(F.col("phash")), F.lit(-1))
+    )
 
 
 def spatial_join(

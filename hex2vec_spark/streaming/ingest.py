@@ -33,7 +33,11 @@ def streaming_hex_features(
     h3 encode (Arrow UDF works on streaming DFs) -> broadcast tiling
     join (stream-static join: no state) -> explode -> streaming agg
     (state = running counts per (region_id, h3, feature))."""
-    with_h3 = images_stream.withColumn("h3", h3_from_phash_res(res)(F.col("phash")))
+    # coalesce: single ArrowEvalPython for the join key (see
+    # operators/spatial.assign_h3)
+    with_h3 = images_stream.withColumn(
+        "h3", F.coalesce(h3_from_phash_res(res)(F.col("phash")), F.lit(-1))
+    )
     joined = with_h3.join(F.broadcast(tiling_sdf), "h3", "inner")
     tags = (
         joined.withColumn("feature", F.explode(F.split(F.col("caption"), ";")))

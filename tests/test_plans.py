@@ -35,6 +35,21 @@ class TestJoinPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_h3_udf_evaluated_once(self, spark):
+        # a nullable Python-UDF join key makes Catalyst extract the UDF
+        # twice (IsNotNull filter + key projection); assign_h3's coalesce
+        # wrapper must keep it to ONE ArrowEvalPython node (27% measured)
+        from hex2vec_spark.operators.spatial import spatial_join, tiling_table
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 100)
+        plan = plan_of(spatial_join(img, tiling_table(spark, res=8), res=8))
+        headers = [
+            l for l in plan.splitlines()
+            if l.strip().startswith("(") and "ArrowEvalPython" in l and ")" in l.split()[0]
+        ]
+        assert len(headers) == 1, headers
+
     def test_semi_and_anti_joins_broadcast_small_side(self, spark):
         c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
         o = spark.read.parquet(f"{SF_DIR}/orders.parquet")

@@ -1,0 +1,107 @@
+"""Property-based kernel checks (hypothesis; SURVEY.md §5.4): invariants
+that must hold for arbitrary inputs, not just the golden vectors —
+encode/center round-trip, k-ring symmetry, parent containment, polyfill
+center-containment, codec identity, Mercator inversion.
+
+Scoped to the engine's active bbox (face-interior; hexlib documents the
+base-cell seam measure ~0.2% of the globe as a known limit, so global
+random points are exercised separately with a tolerance).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from hex2vec_spark.hexlib import geom, h3core
+from hex2vec_spark.hexlib import image as im
+
+BBOX_LAT = st.floats(min_value=40.0, max_value=42.0, allow_nan=False)
+BBOX_LNG = st.floats(min_value=14.0, max_value=17.0, allow_nan=False)
+RES = st.integers(min_value=7, max_value=10)
+
+
+class TestH3Properties:
+    @settings(max_examples=60, deadline=None)
+    @given(lat=BBOX_LAT, lng=BBOX_LNG, res=RES)
+    def test_center_reencodes_to_same_cell(self, lat, lng, res):
+        cell = h3core.encode(np.array([lat]), np.array([lng]), res)
+        clat, clng = h3core.cell_center(cell)
+        again = h3core.encode(clat, clng, res)
+        assert again[0] == cell[0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(lat=BBOX_LAT, lng=BBOX_LNG, res=st.integers(min_value=8, max_value=10))
+    def test_parent_contains_child_center(self, lat, lng, res):
+        child = h3core.encode(np.array([lat]), np.array([lng]), res)
+        parent = h3core.cell_to_parent(child, res - 1)
+        clat, clng = h3core.cell_center(child)
+        # the child's center must encode into its own parent at res-1
+        assert h3core.encode(clat, clng, res - 1)[0] == parent[0]
+
+    @settings(max_examples=30, deadline=None)
+    @given(lat=BBOX_LAT, lng=BBOX_LNG)
+    def test_kring_symmetry(self, lat, lng):
+        a = h3core.encode(np.array([lat]), np.array([lng]), 9)
+        _, ring = h3core.kring_flat(a, 1)
+        for b in ring:
+            if b == a[0]:
+                continue
+            _, back = h3core.kring_flat(np.array([b], dtype=np.uint64), 1)
+            assert a[0] in back
+
+    @settings(max_examples=30, deadline=None)
+    @given(lat=BBOX_LAT, lng=BBOX_LNG)
+    def test_point_cell_contains_point(self, lat, lng):
+        cell = h3core.encode(np.array([lat]), np.array([lng]), 9)
+        verts = h3core.cell_boundary(cell)[0]  # (6, 2) lat,lng
+        inside = geom.points_in_polygon(
+            np.array([lat]), np.array([lng]), verts[:, 0], verts[:, 1]
+        )
+        assert inside[0]
+
+
+class TestGeomProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        lat=st.floats(min_value=-84.0, max_value=84.0, allow_nan=False),
+        lng=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    )
+    def test_mercator_3857_roundtrip(self, lat, lng):
+        x, y = geom.lonlat_to_mercator_3857(np.array([lng]), np.array([lat]))
+        lng2, lat2 = geom.mercator_3857_to_lonlat(x, y)
+        assert abs(lng2[0] - lng) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        lat=st.floats(min_value=-80.0, max_value=80.0, allow_nan=False),
+        lng=st.floats(min_value=-179.0, max_value=179.0, allow_nan=False),
+    )
+    def test_mercator_3395_roundtrip(self, lat, lng):
+        x, y = geom.lonlat_to_mercator_3395(np.array([lng]), np.array([lat]))
+        lng2, lat2 = geom.mercator_3395_to_lonlat(x, y)
+        assert abs(lng2[0] - lng) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+
+
+class TestCodecProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_roundtrip_identity(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = im.png_decode(im.png_encode(px))
+        assert back.shape == px.shape and (back == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_ppm_roundtrip_identity(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = im.ppm_decode(im.ppm_encode(px))
+        assert (back == px).all()
