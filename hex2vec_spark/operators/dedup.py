@@ -66,9 +66,15 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs: signature ->
     band keys -> self-join per band bucket -> distinct pairs.
+
+    ``materialize`` localCheckpoints the banded signatures before the
+    self-join: a self-join recomputes its input lineage on BOTH sides,
+    so without it the MinHash UDF (the dominant cost at scale) runs
+    twice over the corpus.
 
     NOTE: python's ``hash`` on str is seed-randomized per process; we use
     it only *within* one UDF batch... actually not even that is safe
@@ -88,6 +94,8 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("key")) for b in range(bands)])).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if materialize:
+        stacked = stacked.localCheckpoint(eager=False)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -132,11 +140,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via explode + join + count
     algebra (SQL-expressible; the oracle computes the same thing).
     |A ∩ B| from a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Quadratic only within shared-shingle groups."""
+    Quadratic only within shared-shingle groups. ``materialize``
+    localCheckpoints the gram table, which is otherwise recomputed three
+    times (both self-join sides + the size table)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = df.select(
         F.col(id_col),
@@ -147,6 +158,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).distinct()
+    if materialize:
+        grams = grams.localCheckpoint(eager=False)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.alias("g1")
     g2 = grams.alias("g2")
@@ -211,6 +224,9 @@ def embedding_near_dup(
         bucket = F.shiftleft(bucket, 1) + F.when(dot_lit(vc, planes[p].tolist()) >= 0, 1).otherwise(0)
     norm = F.sqrt(F.aggregate(vc, F.lit(0.0), lambda a, x: a + x * x))
     sig = emb.select(F.col(id_col), vc.alias("v"), bucket.alias("bucket"), norm.alias("nrm"))
+    # self-join: materialize the signatures once (n_planes dot products
+    # per row would otherwise run on both sides)
+    sig = sig.localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

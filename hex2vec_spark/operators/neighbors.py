@@ -14,20 +14,27 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.h3_fns import h3_kring_udf
 
 
-def context_pairs(corpus: DataFrame, h3_col: str = "h3", k: int = 1) -> DataFrame:
+def context_pairs(
+    corpus: DataFrame, h3_col: str = "h3", k: int = 1, materialize: bool = True
+) -> DataFrame:
     """(input_h3, context_h3) for every k_ring(k) neighbor present in the
     corpus, input itself excluded (h3_neighbor_dataset.py:21-26).
 
     ``corpus`` must have one row per distinct cell (the reference's
     processed-matrix index). Self-join keys are near-unique so there is
-    no key skew; AQE handles residual partition imbalance.
+    no key skew; AQE handles residual partition imbalance. ``materialize``
+    localCheckpoints the distinct cell set once — the self-join would
+    otherwise recompute the corpus lineage (often a Python-UDF encode)
+    on both sides.
     """
     cells = corpus.select(F.col(h3_col).alias("input_h3")).distinct()
+    if materialize:
+        cells = cells.localCheckpoint(eager=False)
     exploded = cells.select(
         "input_h3",
         F.explode(h3_kring_udf(k=k, include_self=False)(F.col("input_h3"))).alias("context_h3"),
     )
-    present = corpus.select(F.col(h3_col).alias("context_h3")).distinct()
+    present = cells.select(F.col("input_h3").alias("context_h3"))
     return exploded.join(present, "context_h3", "inner").select("input_h3", "context_h3")
 
 
@@ -62,17 +69,17 @@ def sample_negatives(
     anti-join + window; h3_neighbor_dataset.py:48-66)."""
     from pyspark.sql import Window
 
-    cells = corpus.select(F.col(h3_col).alias("input_h3")).distinct()
-    pool = corpus.select(F.col(h3_col).alias("neg_h3")).distinct()
+    cells = corpus.select(F.col(h3_col).alias("input_h3")).distinct().localCheckpoint(eager=False)
+    pool = cells.select(F.col("input_h3").alias("neg_h3"))
     # oversample candidate pairs deterministically: per input, take a
     # pseudo-random slice of the pool via hash ordering
     cand = (
         cells.crossJoin(F.broadcast(pool.limit(4096)))
         .withColumn("_r", F.xxhash64(F.col("input_h3"), F.col("neg_h3"), F.lit(seed)))
     )
-    excl = negative_exclusion(corpus, h3_col, k_excl).withColumnRenamed(
-        "excluded_h3", "neg_h3"
-    )
+    excl = negative_exclusion(
+        cells.select(F.col("input_h3").alias(h3_col)), h3_col, k_excl
+    ).withColumnRenamed("excluded_h3", "neg_h3")
     w = Window.partitionBy("input_h3").orderBy("_r")
     return (
         cand.join(excl, ["input_h3", "neg_h3"], "left_anti")
