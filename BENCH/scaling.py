@@ -131,6 +131,9 @@ scales out, which the reference cannot.
 Caveats: single-JVM local mode shares one driver; this sandbox VM has
 erratic first-touch memory behavior (3-10x run-to-run variance on
 allocation-heavy passes), hence best-of-3 after warmups.
+
+End-to-end dataset-build (resumable buckets + snapshot commit) numbers:
+see BENCH/PIPELINE.md.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
