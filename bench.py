@@ -106,6 +106,7 @@ def main() -> int:
             "q1_pricing_summary", "explode_trim", "group_pivot", "salted_agg",
             "topk", "per_group_topk", "self_join", "knn_bruteforce",
             "dedup_exact", "hex_features", "context_pairs", "tile_hex_bins",
+            "polygon_assign",
         ]
         qtimes: dict[str, float] = {}
         for name in headline:
