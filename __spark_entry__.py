@@ -519,6 +519,36 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_cube_counts(spark, sf_dir):
+    # grouping-sets surface (beyond-reference): CUBE over two dims with
+    # subtotal rows; nulls sentineled to 'ALL' for a stable oracle
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+def _q_salted_join(spark, sf_dir):
+    # north_rule skew handling, join side: salted shuffled equi-join ==
+    # plain join (here aggregated for a stable oracle)
+    from hex2vec_spark.operators.joins import salted_equi_join
+
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    joined = salted_equi_join(li, o, on="o_orderkey", salt_src="l_partkey", n_salt=4)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def _q_windowed_counts(spark, sf_dir):
     # event-time tumbling window counts (batch form of the streaming
     # windowed_event_counts operator)
@@ -795,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": _q_conditional_agg,
         "scalar_subquery": _q_scalar_subquery,
         "range_join": _q_range_join,
+        "cube_counts": _q_cube_counts,
+        "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
@@ -1103,6 +1135,18 @@ def oracle_sql() -> dict[str, str]:
                  AS b(lo, hi, bucket)
               ON s_acctbal >= lo AND s_acctbal < hi
             GROUP BY bucket
+        """,
+        "salted_join": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "cube_counts": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "knn_bruteforce": """
             SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (

@@ -119,6 +119,52 @@ class TestAdaptiveSalting:
         assert key(a) == key(p)
 
 
+class TestSaltedJoin:
+    def test_inner_equals_plain(self, spark):
+        from hex2vec_spark.operators.joins import salted_equi_join
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        salted = salted_equi_join(li, o, "o_orderkey", salt_src="l_partkey", n_salt=4)
+        plain = li.join(o, "o_orderkey")
+        cols = ["o_orderkey", "l_linenumber", "o_orderpriority"]
+        key = lambda d: sorted(map(tuple, d[cols].to_numpy()))
+        assert key(salted.select(*cols).toPandas()) == key(plain.select(*cols).toPandas())
+
+    def test_left_preserves_unmatched(self, spark):
+        from hex2vec_spark.operators.joins import salted_equi_join
+
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        o = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .where(F.col("o_totalprice") > 400000)  # leaves unmatched customers
+            .select("o_custkey", "o_orderkey")
+        )
+        salted = salted_equi_join(c, o, "o_custkey", salt_src="c_name", n_salt=4, how="left")
+        plain = c.join(o, "o_custkey", "left")
+        assert salted.count() == plain.count()
+        s_null = salted.where(F.col("o_orderkey").isNull()).count()
+        p_null = plain.where(F.col("o_orderkey").isNull()).count()
+        assert s_null == p_null and s_null > 0
+
+    def test_salt_is_a_join_key(self, spark):
+        from hex2vec_spark.operators.joins import salted_equi_join
+        from tests.test_plans import plan_of
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+        plan = plan_of(salted_equi_join(li, o, "o_orderkey", salt_src="l_partkey"))
+        assert "_salt" in plan  # the shuffle re-keys on (key, salt)
+
+
 class TestKnnCentroidsPruned:
     def test_equals_exact_scan(self, spark):
         from hex2vec_spark.operators.knn import knn_cell_centroids, knn_cell_centroids_pruned
