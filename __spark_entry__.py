@@ -252,6 +252,22 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    from hex2vec_spark.operators.text import bpe_token_count
+
+    d = _load(spark, sf_dir, "documents")
+    return bpe_token_count(d).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def _q_lang_id_ngram(spark, sf_dir):
+    from hex2vec_spark.operators.text import lang_id_ngram
+
+    d = _load(spark, sf_dir, "documents")
+    return lang_id_ngram(d).select(
+        "doc_id", F.round("en_bigram_score", 6).alias("score"), "lang_pred_ngram"
+    )
+
+
 def _q_token_count(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.select(
@@ -782,6 +798,27 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _lang_id_ngram_oracle() -> str:
+    # composed from the SAME bigram profile as the Spark operator
+    from hex2vec_spark.operators.text import EN_BIGRAMS
+
+    terms = " + ".join(
+        f"(LENGTH(lower(text)) - LENGTH(replace(lower(text), '{bg}', ''))) / 2"
+        for bg in EN_BIGRAMS
+    )
+    return f"""
+        SELECT doc_id, ROUND(score, 6) AS score,
+               CASE WHEN score >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred_ngram
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(lower(text)) > 0
+                        THEN ({terms}) * 1.0 / LENGTH(lower(text))
+                        ELSE 0.0 END AS score
+            FROM documents
+        )
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -802,7 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "lang_id_ngram": _q_lang_id_ngram,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "knn_bruteforce": _q_knn_bruteforce,
         "isin_filter": _q_isin_filter,
         "prefix_select": _q_prefix_select,
@@ -965,6 +1004,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, LENGTH(text) AS len_chars
             FROM documents
         """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_id_ngram": _lang_id_ngram_oracle(),
         "isin_filter": """
             SELECT doc_id, lang, source FROM documents
             WHERE lang IN ('en','de') AND source NOT IN ('web')

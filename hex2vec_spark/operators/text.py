@@ -30,6 +30,42 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style classes: letter runs, digit
+# runs, single punctuation marks) — shared verbatim with the DuckDB oracle
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting, both flavors the brief names: whitespace tokens
+    and BPE-ish regex pre-tokens (letter/digit/punct classes). JVM-side
+    regexp_extract_all — no Python in the scan."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)))
+    return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe)
+
+
+# top English character bigrams (Cavnar–Trenkle-style profile, fixed)
+EN_BIGRAMS = ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+              "ti", "es", "or", "te", "of"]
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", threshold: float = 0.05) -> DataFrame:
+    """Character-n-gram language-ID heuristic: density of the top English
+    bigrams per character. Pure JVM expressions (replace-based substring
+    counting), so it is DuckDB-oracle-able; a profile per language turns
+    this into full Cavnar–Trenkle rank scoring without changing the plan
+    shape."""
+    t = F.lower(F.col(text_col))
+    total = None
+    for bg in EN_BIGRAMS:
+        cnt = (F.length(t) - F.length(F.replace(t, F.lit(bg), F.lit("")))) / 2
+        total = cnt if total is None else total + cnt
+    score = F.when(F.length(t) > 0, total / F.length(t)).otherwise(F.lit(0.0))
+    return df.withColumn("en_bigram_score", score).withColumn(
+        "lang_pred_ngram", F.when(score >= threshold, "en").otherwise("other")
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a simple
     composite score, all as built-in expressions."""

@@ -266,6 +266,34 @@ class TestNgramJaccard:
         assert 0.5 <= pairs[0]["jaccard"] < 1.0
 
 
+class TestTextOps:
+    def test_bpe_regex_tokens_exact(self, spark):
+        from hex2vec_spark.operators.text import bpe_token_count
+
+        df = spark.createDataFrame(
+            [("a", "Hello, world 42!"), ("b", "don't-stop"), ("c", "   x   ")],
+            "id string, text string",
+        )
+        got = {r["id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+               for r in bpe_token_count(df).collect()}
+        # Hello , world 42 !  -> 5 ; don ' t - stop -> 5 ; x -> 1
+        assert got == {"a": (3, 5), "b": (1, 5), "c": (1, 1)}
+
+    def test_lang_id_ngram_separates_real_text(self, spark):
+        from hex2vec_spark.operators.text import lang_id_ngram
+
+        rows = [
+            ("en1", "The weather in the north of England is often rather wet and windy."),
+            ("en2", "There is another train at the end of the other platform."),
+            ("zh1", "火车站在城市的另一边，需要坐地铁过去。"),
+            ("pl1", "Szybki rydz przez gąszcz krzaków, pójdźże wgłąb."),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        got = {r["id"]: r["lang_pred_ngram"] for r in lang_id_ngram(df).collect()}
+        assert got["en1"] == "en" and got["en2"] == "en"
+        assert got["zh1"] == "other" and got["pl1"] == "other"
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def images(self, spark):
