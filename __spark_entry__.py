@@ -535,6 +535,63 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_tpch_q5(spark, sf_dir):
+    # TPC-H Q5 shape: local-supplier revenue — 5-way join where customer
+    # and supplier must share the nation, dims broadcast
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer, top 20
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    # TPC-H Q18 shape: HAVING-subquery — orders whose total quantity
+    # exceeds a threshold, joined back for customer detail
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
 def _q_cube_counts(spark, sf_dir):
     # grouping-sets surface (beyond-reference): CUBE over two dims with
     # subtotal rows; nulls sentineled to 'ALL' for a stable oracle
@@ -860,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_revenue": _q_join3_revenue,
         "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q18": _q_tpch_q18,
         "exists_agg": _q_exists_agg,
         "conditional_agg": _q_conditional_agg,
         "scalar_subquery": _q_scalar_subquery,
@@ -1150,6 +1210,39 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate  > TIMESTAMP '1998-03-15'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, o_orderkey,
+                   ROUND(sum_qty, 2) AS sum_qty,
+                   ROUND(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "exists_agg": """
             SELECT o_orderpriority, COUNT(*) AS order_count
