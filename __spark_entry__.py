@@ -684,6 +684,23 @@ def _q_pipeline_e2e(spark, sf_dir):
     return load_processed(spark, root).select("region_id", "h3", "feature", "count")
 
 
+def _q_neighbor_dataset(spark, sf_dir):
+    # entry point B end-to-end: committed features -> corpus -> context
+    # pairs + excluded negatives as one training table
+    import tempfile
+
+    from hex2vec_spark.plans.pipeline import build_dataset, build_neighbor_dataset
+    from hex2vec_spark.sources.synth import regions_pandas
+
+    root = tempfile.mkdtemp(prefix="hexnb_")
+    build_dataset(
+        spark, _images(spark, 1500), regions_pandas(), root,
+        res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
+    )
+    ds = build_neighbor_dataset(spark, root, k=1, n_negatives=2)
+    return ds.select("input_h3", "context_h3", F.size("neg_h3s").alias("n_negs"))
+
+
 def _q_context_pairs(spark, sf_dir):
     from hex2vec_spark.operators.neighbors import context_pairs
     from hex2vec_spark.operators.spatial import assign_h3
@@ -932,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assignments": _q_assignments,
         "polygon_assign": _q_polygon_assign,
         "pipeline_e2e": _q_pipeline_e2e,
+        "neighbor_dataset": _q_neighbor_dataset,
         "context_pairs": _q_context_pairs,
         "neg_samples": _q_neg_samples,
         "h3_strings": _q_h3_strings,

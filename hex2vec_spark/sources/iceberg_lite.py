@@ -51,7 +51,9 @@ def write_table(
         out = out.withColumn("h3_p4", h3_parent_udf(partition_res)(F.col(h3_col)))
         parts = ["h3_p4"]
         out = out.repartitionByRange(F.col("h3_p4"), F.col(h3_col)).sortWithinPartitions(h3_col)
-    writer = out.write.mode(mode)
+    # zstd: ~30-50% smaller than snappy at similar scan speed — at 100 TB
+    # the at-rest and shuffle-read savings dominate the encode cost
+    writer = out.write.mode(mode).option("compression", "zstd")
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
@@ -125,7 +127,7 @@ def commit_table(
         out = out.withColumn("h3_p4", h3_parent_udf(partition_res)(F.col(h3_col)))
         parts = ["h3_p4"]
         out = out.repartitionByRange(F.col("h3_p4"), F.col(h3_col)).sortWithinPartitions(h3_col)
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode("overwrite").option("compression", "zstd")
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(os.path.join(path, rel_dir))

@@ -199,6 +199,30 @@ class TestEndToEndBuild:
             {"count": float}).to_numpy()))
         assert key(got[["region_id", "h3", "feature", "count"]]) == key(ora)
 
+    def test_build_neighbor_dataset(self, spark, tmp_path):
+        from hex2vec_spark.plans.pipeline import build_dataset, build_neighbor_dataset
+        from hex2vec_spark.sources.synth import images_table, regions_pandas
+
+        root = str(tmp_path / "nb")
+        build_dataset(spark, images_table(spark, 800), regions_pandas(), root,
+                      res=RES, n_buckets=2)
+        ds = build_neighbor_dataset(spark, root, k=1, n_negatives=2).toPandas()
+        assert len(ds) > 0
+        # context must be a kring(1) neighbor of input
+        for _, r in ds.head(50).iterrows():
+            _, ring = h3core.kring_flat(
+                np.array([np.int64(r["input_h3"])]).view(np.uint64), 1
+            )
+            assert np.int64(r["context_h3"]).view(np.uint64) in ring  # type: ignore[operator]
+        # negatives (when present) are outside kring(2)
+        some = ds[ds["neg_h3s"].notna()].head(20)
+        for _, r in some.iterrows():
+            _, ring2 = h3core.kring_flat(
+                np.array([np.int64(r["input_h3"])]).view(np.uint64), 2
+            )
+            ring2 = set(ring2.view(np.int64).tolist())
+            assert not (set(r["neg_h3s"]) & ring2)
+
     def test_load_processed_filters(self, spark, tmp_path):
         from hex2vec_spark.plans.pipeline import build_dataset, load_processed
         from hex2vec_spark.sources.synth import images_table, regions_pandas
