@@ -379,6 +379,20 @@ def _q_knn_bruteforce(spark, sf_dir):
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def _q_vector_arithmetic(spark, sf_dir):
+    # entry point C vector arithmetic (cluster-word2vec.ipynb cells
+    # 76-91: em_a + em_b probe): combined query vector -> cosine top-k.
+    # Both engines add the float32 components in DOUBLE so sums match.
+    from hex2vec_spark.operators.knn import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: r["embedding"] for r in
+            emb.where(F.col("vec_id").isin(1, 2)).select("vec_id", "embedding").collect()}
+    query = [float(a) + float(b) for a, b in zip(rows[1], rows[2])]
+    top = cosine_topk(emb.where(~F.col("vec_id").isin(1, 2)), query, k=10)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact n-gram Jaccard near-dup pairs (dedup family, SQL-oracled)
     from hex2vec_spark.operators.dedup import ngram_jaccard_pairs
@@ -917,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "knn_bruteforce": _q_knn_bruteforce,
+        "vector_arithmetic": _q_vector_arithmetic,
         "isin_filter": _q_isin_filter,
         "prefix_select": _q_prefix_select,
         "all_zero_drop": _q_all_zero_drop,
@@ -1311,6 +1326,19 @@ def oracle_sql() -> dict[str, str]:
                            CAST(embedding AS DOUBLE[]),
                            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS raw_sim
                 FROM embeddings WHERE vec_id <> 0
+            ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+        """,
+        "vector_arithmetic": """
+            WITH q AS (
+                SELECT list_transform(
+                           range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v
+                FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1) a,
+                     (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2) b
+            )
+            SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (
+                SELECT vec_id, list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), (SELECT v FROM q)) AS raw_sim
+                FROM embeddings WHERE vec_id NOT IN (1, 2)
             ) ORDER BY raw_sim DESC, vec_id LIMIT 10
         """,
     }
