@@ -108,6 +108,62 @@ def polygons_intersect_hexes(
     return hit
 
 
+def polygons_intersect_hexes_pairs(
+    hex_verts_lat: np.ndarray,
+    hex_verts_lng: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lng: np.ndarray,
+    chunk: int = 200_000,
+) -> np.ndarray:
+    """Pairwise variant of :func:`polygons_intersect_hexes`: row k tests
+    hexagon k against ring k — (K,6) hex vertices vs (K,R) rings. Rings
+    may be padded to a common R by repeating the last vertex (degenerate
+    edges never contribute: zero-length edges fail both the straddle test
+    and the proper-intersection test, and duplicate vertices don't change
+    an ``any``). Same predicate as the scalar path: vertex containment
+    either way, or any edge crossing. Chunked over K to bound the
+    (K,6,R) broadcast memory."""
+    K = hex_verts_lat.shape[0]
+    out = np.zeros(K, dtype=bool)
+    for c0 in range(0, K, chunk):
+        sl = slice(c0, min(c0 + chunk, K))
+        hl, hg = hex_verts_lat[sl], hex_verts_lng[sl]          # (k,6)
+        rl, rg = ring_lat[sl], ring_lng[sl]                    # (k,R)
+        rl2, rg2 = np.roll(rl, -1, axis=1), np.roll(rg, -1, axis=1)
+
+        # 1) any hex vertex inside its ring (even-odd ray cast)
+        py = hl[:, :, None]                                    # (k,6,1)
+        px = hg[:, :, None]
+        y1, y2 = rl[:, None, :], rl2[:, None, :]               # (k,1,R)
+        x1, x2 = rg[:, None, :], rg2[:, None, :]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+        crossings = (cond & (px < xint)).sum(axis=2)           # (k,6)
+        hit = (crossings % 2 == 1).any(axis=1)
+
+        # 2) any ring vertex inside the (convex) hex: half-plane test
+        nx, ny = np.roll(hg, -1, axis=1), np.roll(hl, -1, axis=1)
+        pxr = rg[:, None, :]                                   # (k,1,R)
+        pyr = rl[:, None, :]
+        cross = (nx - hg)[:, :, None] * (pyr - hl[:, :, None]) - (
+            ny - hl
+        )[:, :, None] * (pxr - hg[:, :, None])                 # (k,6,R)
+        inside = np.all(cross >= 0, axis=1) | np.all(cross <= 0, axis=1)
+        hit |= inside.any(axis=1)
+
+        # 3) any hex edge crossing any ring edge
+        hx1, hy1 = hg[:, :, None], hl[:, :, None]
+        hx2, hy2 = np.roll(hg, -1, axis=1)[:, :, None], np.roll(hl, -1, axis=1)[:, :, None]
+        inter = _segments_intersect(
+            hx1, hy1, hx2, hy2,
+            rg[:, None, :], rl[:, None, :], rg2[:, None, :], rl2[:, None, :],
+        )
+        hit |= inter.any(axis=(1, 2))
+        out[sl] = hit
+    return out
+
+
 # ------------------------------------------------------------- reprojection
 
 def lonlat_to_mercator_3857(lng_deg: np.ndarray, lat_deg: np.ndarray):

@@ -410,6 +410,106 @@ def cells_covering_bbox(
     return np.unique(encode(glat.ravel(), glng.ravel(), res))
 
 
+def cover_intersect_batch(
+    rings_lat, rings_lng, res: int, pad_cells: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched 'cells intersecting polygon' for MANY polygons at once:
+    returns (poly_idx int64, cell uint64) pairs. Semantically equal to
+    per-polygon ``cells_covering_bbox`` + ``polygons_intersect_hexes``
+    (the candidate grid is a superset either way; the exact intersect
+    refine makes the result identical), but one encode call + one
+    pairwise predicate call for the whole batch — per-polygon Python
+    overhead measured ~1.5 ms/poly disappears.
+
+    ``rings_lat``/``rings_lng`` are sequences of per-polygon vertex
+    arrays (variable length)."""
+    from .geom import polygons_intersect_hexes_pairs
+
+    P = len(rings_lat)
+    if P == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    R = max(len(r) for r in rings_lat)
+    ring_lat = np.empty((P, R), dtype=np.float64)
+    ring_lng = np.empty((P, R), dtype=np.float64)
+    for i in range(P):
+        r_lat = np.asarray(rings_lat[i], dtype=np.float64)
+        r_lng = np.asarray(rings_lng[i], dtype=np.float64)
+        ring_lat[i, : len(r_lat)] = r_lat
+        ring_lng[i, : len(r_lng)] = r_lng
+        if len(r_lat) < R:  # pad by repeating the last vertex (predicate-safe)
+            ring_lat[i, len(r_lat):] = r_lat[-1]
+            ring_lng[i, len(r_lng):] = r_lng[-1]
+
+    lat0, lat1 = ring_lat.min(axis=1), ring_lat.max(axis=1)
+    lng0, lng1 = ring_lng.min(axis=1), ring_lng.max(axis=1)
+    spacing_deg = np.degrees(EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8)
+    s = 0.35 * spacing_deg
+    pad = (pad_cells + 1.0) * spacing_deg
+    # GLOBAL sample lattice (integer multiples of the step, one phase for
+    # the whole batch): overlapping bboxes share lattice points, so each
+    # distinct point is encoded ONCE. encode dominates this kernel; with
+    # clustered objects the encode cost becomes O(covered area), not
+    # O(polygons). Density (0.35 center spacings, compression-adjusted
+    # lng step) matches the scalar path at an arbitrary phase, so the
+    # >=1-sample-per-cell guarantee is unchanged.
+    coslat_g = max(
+        float(np.cos(np.radians(np.max(np.maximum(np.abs(lat0), np.abs(lat1))) + 1.0))), 0.05
+    )
+    s_lng = s / coslat_g
+    i0 = np.floor((lat0 - pad) / s).astype(np.int64)
+    i1 = np.ceil((lat1 + pad) / s).astype(np.int64)
+    j0 = np.floor((lng0 - pad) / s_lng).astype(np.int64)
+    j1 = np.ceil((lng1 + pad) / s_lng).astype(np.int64)
+    n_lat = i1 - i0 + 1
+    n_lng = j1 - j0 + 1
+    k = n_lat * n_lng
+    starts = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(k, out=starts[1:])
+    total = int(starts[-1])
+
+    idx = np.arange(total, dtype=np.int64)
+    poly = np.searchsorted(starts, idx, side="right") - 1
+    within = idx - starts[poly]
+    gi = i0[poly] + within // n_lng[poly]
+    gj = j0[poly] + within % n_lng[poly]
+    # dedupe lattice points across polygons, encode each point once
+    OFF = np.int64(1) << np.int64(30)
+    key = (gi + OFF) * (OFF << 1) + (gj + OFF)
+    uniq, inv = np.unique(key, return_inverse=True)
+    u_lat = (uniq // (OFF << 1) - OFF) * s
+    u_lng = (uniq % (OFF << 1) - OFF) * s_lng
+    cells = encode(u_lat, u_lng, res)[inv]
+
+    # unique (poly, cell) pairs
+    order = np.lexsort((cells, poly))
+    p_s, c_s = poly[order], cells[order]
+    first = np.ones(len(p_s), dtype=bool)
+    first[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+    p_u, c_u = p_s[first], c_s[first]
+
+    # boundaries once per unique CELL (a cell appears in many polygons'
+    # candidate sets), gathered per pair
+    cu_uniq, cu_inv = np.unique(c_u, return_inverse=True)
+    verts_u = cell_boundary(cu_uniq)  # (U, 6, 2)
+    verts = verts_u[cu_inv]
+
+    # cheap exact prefilter: disjoint bboxes can't intersect. Candidates
+    # span the PADDED bbox, so this drops the pad ring before the
+    # orient-heavy full predicate (~3-4x fewer pairs).
+    hx_lat, hx_lng = verts[:, :, 0], verts[:, :, 1]
+    overlap = (
+        (hx_lat.max(axis=1) >= lat0[p_u]) & (hx_lat.min(axis=1) <= lat1[p_u])
+        & (hx_lng.max(axis=1) >= lng0[p_u]) & (hx_lng.min(axis=1) <= lng1[p_u])
+    )
+    p_u, c_u = p_u[overlap], c_u[overlap]
+    verts = verts[overlap]
+
+    hit = polygons_intersect_hexes_pairs(
+        verts[:, :, 0], verts[:, :, 1], ring_lat[p_u], ring_lng[p_u]
+    )
+    return p_u[hit], c_u[hit]
+
+
 def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray:
     """All cells whose center lies inside the polygon (h3.polyfill
     semantics; make_dataset.py:41). Vectorized grid-sample + re-encode,
