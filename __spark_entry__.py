@@ -410,6 +410,38 @@ def _q_winnow_fp(spark, sf_dir):
     return winnow_fingerprints(_load(spark, sf_dir, "documents"), n=3, window=4)
 
 
+def _q_set_intersect(spark, sf_dir):
+    # row-level INTERSECT (beyond-reference set-op surface)
+    ev = _load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+def _q_set_except(spark, sf_dir):
+    # row-level EXCEPT (distinct semantics == SQL EXCEPT)
+    ev = _load(spark, sf_dir, "events")
+    a = ev.where((F.col("event_type") == "click") & (F.col("value") > 100)).select("user_id")
+    b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id")
+    return a.subtract(b)
+
+
+def _q_regex_extract(spark, sf_dir):
+    # F1: regexp_extract — first number embedded in the part name/type
+    p = _load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.regexp_extract(F.col("p_type"), r"([A-Z]+)", 1).alias("first_word")
+    )
+
+
+def _q_substr_index(spark, sf_dir):
+    # F1: substring_index — prefix before the first '#' of c_name-style keys
+    c = _load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.substring_index(F.col("c_name"), "#", 1).alias("name_prefix")
+    )
+
+
 def _q_json_extract(spark, sf_dir):
     # F5: JSON property extraction from the events.props column
     ev = _load(spark, sf_dir, "events")
@@ -943,6 +975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_missing_cols": _q_union_missing_cols,
         "ngram_jaccard": _q_ngram_jaccard,
         "winnow_fp": _q_winnow_fp,
+        "set_intersect": _q_set_intersect,
+        "set_except": _q_set_except,
+        "regex_extract": _q_regex_extract,
+        "substr_index": _q_substr_index,
         "json_extract": _q_json_extract,
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
@@ -1195,6 +1231,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+        """,
+        "set_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "set_except": """
+            SELECT user_id FROM events WHERE event_type = 'click' AND value > 100
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+        """,
+        "regex_extract": """
+            SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) AS first_word FROM part
+        """,
+        "substr_index": """
+            SELECT c_custkey, split_part(c_name, '#', 1) AS name_prefix FROM customer
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer c
