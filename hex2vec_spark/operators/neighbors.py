@@ -62,19 +62,31 @@ def sample_negatives(
     k_excl: int = 2,
     h3_col: str = "h3",
     seed: int = 42,
+    pool_cap: int = 4096,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Deterministic negative sampling: cross candidate pool (salted
-    rand) anti-joined against the k_ring(2) exclusion set, then top-n per
-    input by the random key (rejection sampling re-expressed as
-    anti-join + window; h3_neighbor_dataset.py:48-66)."""
+    """Deterministic negative sampling: cross candidate pool anti-joined
+    against the k_ring(k_excl) exclusion set, then top-n per input by a
+    seeded hash key (rejection sampling re-expressed as anti-join +
+    window; h3_neighbor_dataset.py:48-66).
+
+    The candidate pool is a seeded pseudo-random subset of at most
+    ``pool_cap`` corpus cells (bounds the broadcast crossJoin; negatives
+    are drawn from that subset, not the full corpus). Selected by hash
+    ORDER — an unordered limit() would be partition-order-dependent and
+    break run-to-run determinism."""
     from pyspark.sql import Window
 
-    cells = corpus.select(F.col(h3_col).alias("input_h3")).distinct().localCheckpoint(eager=False)
-    pool = cells.select(F.col("input_h3").alias("neg_h3"))
-    # oversample candidate pairs deterministically: per input, take a
-    # pseudo-random slice of the pool via hash ordering
+    cells = corpus.select(F.col(h3_col).alias("input_h3")).distinct()
+    if materialize:
+        cells = cells.localCheckpoint(eager=False)
+    pool = (
+        cells.select(F.col("input_h3").alias("neg_h3"))
+        .orderBy(F.xxhash64(F.col("neg_h3"), F.lit(seed)), F.col("neg_h3"))
+        .limit(pool_cap)
+    )
     cand = (
-        cells.crossJoin(F.broadcast(pool.limit(4096)))
+        cells.crossJoin(F.broadcast(pool))
         .withColumn("_r", F.xxhash64(F.col("input_h3"), F.col("neg_h3"), F.lit(seed)))
     )
     excl = negative_exclusion(

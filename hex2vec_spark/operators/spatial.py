@@ -96,16 +96,42 @@ def write_tiling_parquet(pdf: pd.DataFrame, path: str) -> None:
     open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
-def tiling_table(spark, res: int = DEFAULT_RES, base_dir: str = "/tmp") -> DataFrame:
-    """The tiling dimension as a parquet-backed DataFrame over the default
-    synthetic regions (content-addressed cache under ``base_dir``).
-    Scanning parquet keeps every broadcast build JVM-only and stable; at
-    cluster scale the tiling would live as a table anyway."""
+def regions_content_key(regions_pdf: pd.DataFrame) -> str:
+    """Content hash of a regions frame — cache paths are keyed by it so a
+    changed polygon set can never silently reuse a stale tiling."""
+    import hashlib
+
+    h = hashlib.md5()
+    for _, row in regions_pdf.iterrows():
+        h.update(str(row["region_id"]).encode())
+        h.update(np.asarray(row["ring_lat"], dtype=np.float64).tobytes())
+        h.update(np.asarray(row["ring_lng"], dtype=np.float64).tobytes())
+    return h.hexdigest()[:10]
+
+
+def tiling_table(
+    spark,
+    res: int = DEFAULT_RES,
+    base_dir: str = "/tmp",
+    regions_pdf: pd.DataFrame | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """The tiling dimension as a parquet-backed DataFrame (default
+    synthetic regions unless ``regions_pdf`` given). The cache path is
+    content-addressed by (res, regions hash) — a marker file alone would
+    let a changed res or polygon set reuse a stale tiling. Scanning
+    parquet keeps every broadcast build JVM-only and stable; at cluster
+    scale the tiling would live as a table anyway."""
     from ..sources.synth import regions_pandas
 
-    path = os.path.join(base_dir, f"hextiling_res{res}")
+    if regions_pdf is None:
+        regions_pdf = regions_pandas()
+    if path is None:
+        path = os.path.join(
+            base_dir, f"hextiling_res{res}_{regions_content_key(regions_pdf)}"
+        )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_tiling_parquet(build_tiling_cached(regions_pandas(), res=res), path)
+        write_tiling_parquet(build_tiling_cached(regions_pdf, res=res), path)
     return spark.read.parquet(path)
 
 

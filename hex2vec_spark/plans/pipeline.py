@@ -23,15 +23,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _tiling_parquet(spark: SparkSession, regions_pdf: pd.DataFrame, res: int, path: str) -> DataFrame:
+def _tiling_parquet(spark: SparkSession, regions_pdf: pd.DataFrame, res: int, root: str) -> DataFrame:
     """Persist the tiling once under the dataset root (the reference
-    caches the same artifact as GeoJSON, make_dataset.py:84-93); scanning
-    parquet keeps the broadcast build JVM-only on every downstream job."""
-    from ..operators.spatial import build_tiling_cached, write_tiling_parquet
+    caches the same artifact as GeoJSON, make_dataset.py:84-93). The dir
+    name is keyed by (res, regions content hash) via tiling_table, so a
+    re-run with different res or polygons rebuilds instead of silently
+    reusing a stale dimension."""
+    from ..operators.spatial import regions_content_key, tiling_table
 
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_tiling_parquet(build_tiling_cached(regions_pdf, res=res), path)
-    return spark.read.parquet(path)
+    path = os.path.join(root, f"tiling_res{res}_{regions_content_key(regions_pdf)}")
+    return tiling_table(spark, res=res, regions_pdf=regions_pdf, path=path)
 
 
 def build_dataset(
@@ -41,25 +42,35 @@ def build_dataset(
     out_root: str,
     res: int = 9,
     n_buckets: int = 8,
-    input_fingerprint: str = "",
+    input_fingerprint: str | None = None,
     adaptive_salt: bool = False,
 ) -> dict:
     """Run the full build: tiling -> resumable spatial-join stage ->
     feature aggregation -> versioned snapshot commit. Returns the
-    snapshot dict. Re-running with the same ``input_fingerprint`` skips
-    completed join buckets (kill-and-resume semantics, SURVEY.md §5.5).
+    snapshot dict.
+
+    Resume: pass a STABLE ``input_fingerprint`` that identifies the
+    input (e.g. its snapshot id or content hash) — a re-run with the
+    same fingerprint skips completed join buckets (kill-and-resume
+    semantics, SURVEY.md §5.5). When omitted, a fresh unique fingerprint
+    is generated so unrelated runs against the same out_root can never
+    silently reuse a previous run's join output.
 
     Layout under ``out_root``:
-      tiling/           res-R cell -> region dimension (parquet)
-      assign/bucket=K   spatial-join output, per-bucket lineage manifest
-      features/         (region_id, h3, feature, count) snapshots,
-                        partitioned by h3_p4, time-travelable
+      tiling_res<R>_<hash>/  res-R cell -> region dimension (parquet)
+      assign/bucket=K        spatial-join output + per-bucket manifest
+      features/              (region_id, h3, feature, count) snapshots,
+                             partitioned by h3 parent, time-travelable
     """
+    import uuid
+
     from ..operators.agg import adaptive_salted_count, explode_caption_tags, salted_count
     from ..operators.spatial import spatial_join
     from ..sources.iceberg_lite import commit_table, read_stage, run_stage
 
-    tiling_sdf = _tiling_parquet(spark, regions_pdf, res, os.path.join(out_root, "tiling"))
+    if input_fingerprint is None:
+        input_fingerprint = f"run-{uuid.uuid4().hex[:12]}"
+    tiling_sdf = _tiling_parquet(spark, regions_pdf, res, out_root)
 
     def assign(batch: DataFrame) -> DataFrame:
         return spatial_join(batch, tiling_sdf, res=res).select(
@@ -73,17 +84,23 @@ def build_dataset(
         input_fingerprint=input_fingerprint,
     )
 
-    tags = explode_caption_tags(read_stage(spark, assign_path))
+    # read exactly this run's buckets — a bucket=* glob would mix in
+    # stale high-numbered dirs when n_buckets shrank between runs
+    tags = explode_caption_tags(read_stage(spark, assign_path, n_buckets=n_buckets))
     keys = ["region_id", "h3", "feature"]
     feats = (
         adaptive_salted_count(tags, keys, salt_src="image_id")
         if adaptive_salt
         else salted_count(tags, keys)
     )
+    n_done = sum(
+        1 for v in manifest["buckets"].values() if v.get("fingerprint") == input_fingerprint
+    )
     snap = commit_table(
         feats, os.path.join(out_root, "features"), mode="overwrite",
         partition_res=max(res - 5, 0),
-        snapshot_extra={"stage_manifest_buckets": len(manifest["buckets"]), "res": res},
+        snapshot_extra={"stage_manifest_buckets": n_done, "res": res,
+                        "input_fingerprint": input_fingerprint},
     )
     return snap
 
@@ -105,9 +122,10 @@ def build_neighbor_dataset(
 
     corpus = load_processed(spark, out_root, snapshot_id=snapshot_id).select("h3").distinct()
     corpus = corpus.localCheckpoint(eager=False)  # two consumers below
-    pairs = context_pairs(corpus, k=k)
+    # already distinct + checkpointed: tell the operators not to repeat it
+    pairs = context_pairs(corpus, k=k, materialize=False)
     negs = (
-        sample_negatives(corpus, n_per_input=n_negatives, k_excl=k_excl)
+        sample_negatives(corpus, n_per_input=n_negatives, k_excl=k_excl, materialize=False)
         .groupBy("input_h3")
         .agg(F.sort_array(F.collect_list("neg_h3")).alias("neg_h3s"))
     )

@@ -248,5 +248,12 @@ def run_stage(
     return manifest
 
 
-def read_stage(spark: SparkSession, out_path: str) -> DataFrame:
+def read_stage(spark: SparkSession, out_path: str, n_buckets: int | None = None) -> DataFrame:
+    """Read a stage's landed buckets. Pass ``n_buckets`` to read exactly
+    buckets 0..n-1 — the glob form would also pick up stale high-numbered
+    dirs left behind by an earlier run with a larger bucket count."""
+    if n_buckets is not None:
+        return spark.read.parquet(
+            *[os.path.join(out_path, f"bucket={b}") for b in range(n_buckets)]
+        )
     return spark.read.parquet(os.path.join(out_path, "bucket=*"))
