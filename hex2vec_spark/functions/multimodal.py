@@ -23,18 +23,9 @@ from pyspark.sql.types import (
 )
 
 from ..hexlib import image as im
+from ..hexlib.hexmath import splitmix64 as _mix64  # shared mixer
 
 _U = np.uint64
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> _U(30)
-    x *= _U(0xBF58476D1CE4E5B9)
-    x ^= x >> _U(27)
-    x *= _U(0x94D049BB133111EB)
-    x ^= x >> _U(31)
-    return x
 
 
 def _bytes_seed(data: pd.Series) -> np.ndarray:
@@ -64,20 +55,24 @@ def resize_image_udf(out_w: int = 16, out_h: int = 16):
     @F.pandas_udf(schema)
     def _udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         enc, ws, hs = [], [], []
-        ye = None
         for b, f in zip(data.to_numpy(), fmt.to_numpy()):
             px = im.decode_image(bytes(b), str(f)).astype(np.float64)
             h, w, _ = px.shape
-            # integral-image area resize per channel (same scheme as
-            # hexlib.image._resize_mean, generalized to out_w x out_h)
-            ye = (np.arange(out_h + 1) * h) // out_h
-            xe = (np.arange(out_w + 1) * w) // out_w
+            # integral-image area resize per channel. Bins are forced to
+            # cover >= 1 source pixel: when upscaling (out > source) the
+            # floor edges produce zero-width bins, which would emit black
+            # stripes; clamping hi to lo+1 replicates the nearest pixel
+            # instead (no-op when downscaling).
+            lo_y = (np.arange(out_h) * h) // out_h
+            hi_y = np.maximum((np.arange(1, out_h + 1) * h) // out_h, lo_y + 1)
+            lo_x = (np.arange(out_w) * w) // out_w
+            hi_x = np.maximum((np.arange(1, out_w + 1) * w) // out_w, lo_x + 1)
             cs = np.zeros((h + 1, w + 1, 3))
             cs[1:, 1:, :] = px.cumsum(0).cumsum(1)
-            s = (cs[ye[1:], :, :][:, xe[1:], :] - cs[ye[:-1], :, :][:, xe[1:], :]
-                 - cs[ye[1:], :, :][:, xe[:-1], :] + cs[ye[:-1], :, :][:, xe[:-1], :])
-            area = ((ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :])[:, :, None]
-            small = np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+            s = (cs[hi_y, :, :][:, hi_x, :] - cs[lo_y, :, :][:, hi_x, :]
+                 - cs[hi_y, :, :][:, lo_x, :] + cs[lo_y, :, :][:, lo_x, :])
+            area = ((hi_y - lo_y)[:, None] * (hi_x - lo_x)[None, :])[:, :, None]
+            small = np.clip(s / area, 0, 255).astype(np.uint8)
             enc.append(im.png_encode(small, level=1))
             ws.append(out_w)
             hs.append(out_h)

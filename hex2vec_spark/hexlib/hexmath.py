@@ -27,6 +27,20 @@ import numpy as np
 
 SQRT3_2 = np.sqrt(3.0) / 2.0
 SQRT7 = np.sqrt(7.0)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, uint64 in/out) — the shared
+    deterministic mixer for every synthetic/stub hash in the engine
+    (synth generator, multimodal stubs); one definition so they can
+    never drift apart."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 # aperture-7 rotation angle: atan2(sqrt(3)/2, 5/2) = asin(sqrt(3/28))
 AP7_ROT = np.arctan2(np.sqrt(3.0) / 2.0, 2.5)
 

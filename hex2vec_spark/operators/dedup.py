@@ -76,9 +76,8 @@ def minhash_lsh_pairs(
     so without it the MinHash UDF (the dominant cost at scale) runs
     twice over the corpus.
 
-    NOTE: python's ``hash`` on str is seed-randomized per process; we use
-    it only *within* one UDF batch... actually not even that is safe
-    across executors — see _stable_hash below which replaces it.
+    Shingle hashing uses _stable_hash (FNV-1a), never python's ``hash``,
+    which is seed-randomized per process and differs across executors.
     """
     sig = _shingle_hashes_udf(shingle, n_hashes)
     rows_per_band = n_hashes // bands
@@ -106,7 +105,9 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_udf(text_col_bits: int = 64):
+def simhash_udf():
+    """64-bit SimHash over word tokens (sign of per-bit vote sums)."""
+
     @F.pandas_udf(LongType())
     def _udf(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
@@ -208,21 +209,19 @@ def embedding_near_dup(
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket (random hyperplanes), join
-    within buckets, verify cosine >= threshold."""
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
+    within buckets, verify cosine >= threshold. Shares the dot/norm
+    expression kernels with operators/knn (same LSH bucketing there)."""
+    from .knn import _dot, _norm, _sniff_dim
+
+    dim = _sniff_dim(emb, vec_col)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-
-    def dot_lit(vc, vec):
-        q = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(F.zip_with(vc, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
     vc = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = F.shiftleft(bucket, 1) + F.when(dot_lit(vc, planes[p].tolist()) >= 0, 1).otherwise(0)
-    norm = F.sqrt(F.aggregate(vc, F.lit(0.0), lambda a, x: a + x * x))
+        bucket = F.shiftleft(bucket, 1) + F.when(_dot(vc, planes[p].tolist()) >= 0, 1).otherwise(0)
+    norm = _norm(vc)
     sig = emb.select(F.col(id_col), vc.alias("v"), bucket.alias("bucket"), norm.alias("nrm"))
     # self-join: materialize the signatures once (n_planes dot products
     # per row would otherwise run on both sides)

@@ -27,6 +27,16 @@ def _norm(vec_col):
     return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _sniff_dim(emb: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row, with a clear error for
+    empty input / null vectors (``.first()`` returning None would
+    otherwise surface as an opaque TypeError downstream)."""
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None or first["d"] < 0:
+        raise ValueError(f"cannot infer vector dim: no non-null rows in '{vec_col}'")
+    return int(first["d"])
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float],
@@ -62,8 +72,9 @@ def cosine_topk_lsh(
     the probe scans only buckets within ``probe_hamming`` of the query's
     bucket (bucket column is a partition-prunable int at rest).
     Approximate: recall controlled by n_planes/probe_hamming."""
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
+    from itertools import combinations
+
+    dim = _sniff_dim(emb, vec_col)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
@@ -76,9 +87,14 @@ def cosine_topk_lsh(
     qbits = 0
     for p in range(n_planes):
         qbits = (qbits << 1) | int(planes[p] @ q >= 0)
+    # every bucket within hamming distance probe_hamming (all flip sets)
     probe = {qbits}
-    if probe_hamming >= 1:
-        probe |= {qbits ^ (1 << b) for b in range(n_planes)}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probe.add(qbits ^ m)
 
     bucketed = emb.withColumn("_bucket", bucket).where(F.col("_bucket").isin(list(probe)))
     return cosine_topk(bucketed, query, k, id_col, vec_col)
@@ -106,24 +122,13 @@ def cosine_topk_ivf(
     unit-Gaussian draws (seeded); a production build would k-means a
     sample, which changes recall but not the plan shape.
     """
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_lists, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    @F.pandas_udf("int")
-    def _assign(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(nrm, 1e-12)
-        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+    cents = _ivf_centroids(n_lists, _sniff_dim(emb, vec_col), seed)
 
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_lists = np.argsort(-(cents @ qn))[:n_probe].tolist()
 
-    listed = emb.withColumn("_list", _assign(F.col(vec_col).cast("array<double>")))
+    listed = emb.withColumn("_list", _ivf_assign_udf(cents)(F.col(vec_col).cast("array<double>")))
     return cosine_topk(
         listed.where(F.col("_list").isin(probe_lists)), query, k, id_col, vec_col
     )
@@ -162,8 +167,7 @@ def build_ivf_index(
     import json
     import os
 
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
+    dim = _sniff_dim(emb, vec_col)
     cents = _ivf_centroids(n_lists, dim, seed)
     listed = emb.withColumn("_list", _ivf_assign_udf(cents)(F.col(vec_col).cast("array<double>")))
     listed.write.mode("overwrite").partitionBy("_list").parquet(path)
@@ -242,10 +246,15 @@ def knn_cell_centroids_pruned(
         )
         top = knn_cell_centroids(pruned, query_latlng, k, h3_col)
         rows = top.collect()
-        # any centroid outside ring r is at least this far from the query
-        # (r rings of center spacing sqrt(3)*edge, minus one parent
-        # circumradius each for the query's and the centroid's offset)
-        bound = (r * np.sqrt(3.0) - 2.0) * edge_p
+        # lower bound on the distance from the query to any centroid in a
+        # parent OUTSIDE ring r: parents at grid distance >= r+1 have
+        # center distance >= (sqrt(3)/2)*(r+1) center-spacings (hex zigzag
+        # worst case; the naive r*spacing over-estimates once r >= 7),
+        # minus one parent circumradius each for the query's and the
+        # centroid's offset within their parents. spacing = sqrt(3)*edge,
+        # circumradius = edge -> bound = (1.5*(r+1) - 2) * edge. A 0.9
+        # factor absorbs residual lattice distortion (projection warp).
+        bound = (1.5 * (r + 1) - 2.0) * edge_p * 0.9
         if (len(rows) == k and rows[-1]["dist_m"] <= bound) or r >= max_ring:
             if r >= max_ring and (len(rows) < k or rows[-1]["dist_m"] > bound):
                 return knn_cell_centroids(cells, query_latlng, k, h3_col)  # exact fallback

@@ -33,10 +33,22 @@ W_CYCLE = [16, 32, 64]
 H_CYCLE = [16, 32, 48]
 
 # three Zipfian hot cells (FIXTURES: ~20% of rows collapse here for skew
-# realism); values are (lat_unit, lng_unit) high-bit prefixes
+# realism); values are (lat_unit, lng_unit) high-bit prefixes.
+# NOTE: the REALIZED split among hot rows is 60/25/15, not these nominal
+# thresholds — the hot selector (ids*2654435761 % 100) and the weight
+# selector (ids*40503 % 100) are correlated affine maps of the id, so
+# only 20 residues reach the weight test. The values below are FROZEN
+# thresholds of the deterministic generator, not exact frequencies;
+# nothing downstream asserts the exact ratio (skew tests assert the top
+# cell holds > 10% of rows, which holds either way).
 HOT_UNITS = [(0.31543, 0.42881), (0.58203, 0.61426), (0.74219, 0.23145)]
 HOT_WEIGHTS = [0.60, 0.28, 0.12]
 HOT_FRACTION = 0.20
+
+# bump when any generator math changes: parquet caches of the synthetic
+# table are keyed by (version, row count) so a code change can never
+# silently serve stale cached rows
+GEN_VERSION = 1
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
@@ -45,15 +57,7 @@ IMAGES_SCHEMA = (
 _U = np.uint64
 
 
-def _mix(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (vectorized, uint64 in/out)."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> _U(30)
-    x *= _U(0xBF58476D1CE4E5B9)
-    x ^= x >> _U(27)
-    x *= _U(0x94D049BB133111EB)
-    x ^= x >> _U(31)
-    return x
+from ..hexlib.hexmath import splitmix64 as _mix  # shared mixer (one definition)
 
 
 def _noise(ids: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -201,14 +205,17 @@ def images_table(spark, n: int, num_partitions: int | None = None):
 
 
 def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
-    """Parquet-backed images table, content-addressed by row count (the
-    generator is a pure function of the row id). A mapInPandas source
-    regenerates — including the PNG deflate — on every action and blocks
-    column pruning; a parquet scan is generated once and prunes (shared
+    """Parquet-backed images table, content-addressed by (generator
+    version, row count) — the generator is a pure function of the row
+    id, and the version key means a generator change can never silently
+    serve stale cached rows. A mapInPandas source regenerates —
+    including the PNG deflate — on every action and blocks column
+    pruning; a parquet scan is generated once and prunes (shared
     convention with bench.cached_flagship_input)."""
     import os
 
-    path = os.path.join(base_dir, f"hexscale_cache_{n}")
+    suffix = "" if GEN_VERSION == 1 else f"_v{GEN_VERSION}"
+    path = os.path.join(base_dir, f"hexscale_cache_{n}{suffix}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         images_table(spark, n).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

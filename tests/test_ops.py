@@ -328,6 +328,23 @@ class TestMultimodal:
         for r in j:
             assert abs(r["r0"] - r["r1"]) < 2.0
 
+    def test_upscale_replicates_not_black(self, spark, images):
+        # upscaling used to emit black stripes (zero-width area bins)
+        import numpy as np
+
+        from hex2vec_spark.functions.multimodal import resize_images
+        from hex2vec_spark.hexlib import image as im
+
+        out = resize_images(images, out_w=64, out_h=64).collect()
+        src = {r["image_id"]: r for r in images.collect()}
+        for r in out[:10]:
+            big = im.png_decode(bytes(r["bytes_small"])).astype(np.float64)
+            orig = im.decode_image(bytes(src[r["image_id"]]["bytes"]),
+                                   src[r["image_id"]]["fmt"]).astype(np.float64)
+            # replication preserves the mean and leaves no zero rows
+            assert abs(big.mean() - orig.mean()) < 3.0
+            assert (big.reshape(64, -1).max(axis=1) > 0).all()
+
     def test_frame_sample_deterministic_plumbing(self, spark, images):
         from hex2vec_spark.functions.multimodal import sample_frames
 
