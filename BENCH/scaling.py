@@ -54,9 +54,10 @@ spark.stop()
 
 def ensure_input(n_images: int, res: int) -> str:
     from hex2vec_spark.plans.session import get_spark
+    from hex2vec_spark.sources.synth import images_cache_path
     import bench
 
-    path = f"/tmp/hexscale_cache_{n_images}"
+    path = images_cache_path(n_images)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     spark = get_spark("scaling-gen", master="local[32]")

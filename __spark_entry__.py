@@ -717,34 +717,50 @@ def _q_pipeline_e2e(spark, sf_dir):
     # entry point A end-to-end: resumable assign stage -> salted feature
     # agg -> versioned snapshot commit -> S7 read-back (fresh temp root
     # per call; determinism of the result is pandas-oracle-tested)
+    import shutil
     import tempfile
 
     from hex2vec_spark.plans.pipeline import build_dataset, load_processed
     from hex2vec_spark.sources.synth import regions_pandas
 
     root = tempfile.mkdtemp(prefix="hexds_")
-    build_dataset(
-        spark, _images(spark, 2000), regions_pandas(), root,
-        res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
-    )
-    return load_processed(spark, root).select("region_id", "h3", "feature", "count")
+    try:
+        build_dataset(
+            spark, _images(spark, 2000), regions_pandas(), root,
+            res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
+        )
+        # collect the (small) result so the workspace can be removed —
+        # returning a lazy DF over the tempdir would leak it per gate run
+        pdf = load_processed(spark, root).select(
+            "region_id", "h3", "feature", "count"
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf)
 
 
 def _q_neighbor_dataset(spark, sf_dir):
     # entry point B end-to-end: committed features -> corpus -> context
     # pairs + excluded negatives as one training table
+    import shutil
     import tempfile
 
     from hex2vec_spark.plans.pipeline import build_dataset, build_neighbor_dataset
     from hex2vec_spark.sources.synth import regions_pandas
 
     root = tempfile.mkdtemp(prefix="hexnb_")
-    build_dataset(
-        spark, _images(spark, 1500), regions_pandas(), root,
-        res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
-    )
-    ds = build_neighbor_dataset(spark, root, k=1, n_negatives=2)
-    return ds.select("input_h3", "context_h3", F.size("neg_h3s").alias("n_negs"))
+    try:
+        build_dataset(
+            spark, _images(spark, 1500), regions_pandas(), root,
+            res=ENTRY_RES, n_buckets=2, input_fingerprint="gate",
+        )
+        ds = build_neighbor_dataset(spark, root, k=1, n_negatives=2)
+        pdf = ds.select(
+            "input_h3", "context_h3", F.size("neg_h3s").alias("n_negs")
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf)
 
 
 def _q_context_pairs(spark, sf_dir):

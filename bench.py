@@ -12,7 +12,7 @@ input materialized to parquet first so generation cost is excluded.
 Env knobs:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
-  BENCH_N_IMAGES       flagship row count (default 400_000)
+  BENCH_N_IMAGES       flagship row count (default 6_000_000)
   BENCH_RES            H3 resolution (default 9)
 """
 
@@ -35,11 +35,13 @@ def build_flagship_input(spark, n_images: int, path: str) -> None:
 
 
 def cached_flagship_input(spark, n_images: int) -> tuple[str, float]:
-    """Deterministic input is content-addressed by row count (the
-    generator is a pure function of the row id); cache it across bench
-    and scaling invocations so the timed job, not the synth generator,
-    dominates the wall clock. Shared with BENCH/scaling.py."""
-    path = f"/tmp/hexscale_cache_{n_images}"
+    """Deterministic input, cached at the generator-versioned path from
+    sources/synth (one path function for all consumers — an unversioned
+    copy here would silently serve stale rows after a generator change).
+    Shared with BENCH/scaling.py."""
+    from hex2vec_spark.sources.synth import images_cache_path
+
+    path = images_cache_path(n_images)
     t0 = time.time()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_flagship_input(spark, n_images, path)

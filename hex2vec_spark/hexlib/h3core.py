@@ -94,16 +94,6 @@ def is_pentagon(h: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- encode
 
-def _lookup_bc(face: np.ndarray, anchor: np.ndarray) -> np.ndarray:
-    """(N,) face ids + (N,3) normalized res-0 ijk -> base cell id or -1."""
-    i, j, k = anchor[..., 0], anchor[..., 1], anchor[..., 2]
-    ok = (i <= 2) & (j <= 2) & (k <= 2)
-    bc = np.full(face.shape, -1, dtype=np.int64)
-    if np.any(ok):
-        bc[ok] = ic.FACE_IJK_BC[face[ok], i[ok], j[ok], k[ok]]
-    return bc
-
-
 # Hierarchical stray bound: a res-r descendant of a base cell strays at
 # most sum_k 7^(-k/2) = 0.608 u0 from the anchor; in angle that is at most
 # 0.608 * RES0_U = 0.232 rad. Any base cell that can hierarchically claim a
@@ -403,7 +393,11 @@ def cells_covering_bbox(
     s = 0.35 * spacing_deg
     pad = (pad_cells + 1.0) * spacing_deg
     lats = np.arange(lat0 - pad, lat1 + pad + s, s)
-    coslat = max(np.cos(np.radians(max(abs(lat0), abs(lat1)) + 1.0)), 0.05)
+    # a cell's longitude extent is spacing/cos(lat): SMALLEST at the
+    # bbox's minimum |lat|, so the safe (densest-needed) step divides by
+    # the LARGEST cos — cos(min |lat|), 0 if the bbox crosses the equator
+    min_abs = 0.0 if (lat0 <= 0.0 <= lat1) else min(abs(lat0), abs(lat1))
+    coslat = max(np.cos(np.radians(min_abs)), 0.05)
     s_lng = s / coslat
     lngs = np.arange(lng0 - pad, lng1 + pad + s_lng, s_lng)
     glat, glng = np.meshgrid(lats, lngs, indexing="ij")
@@ -452,9 +446,12 @@ def cover_intersect_batch(
     # O(polygons). Density (0.35 center spacings, compression-adjusted
     # lng step) matches the scalar path at an arbitrary phase, so the
     # >=1-sample-per-cell guarantee is unchanged.
-    coslat_g = max(
-        float(np.cos(np.radians(np.max(np.maximum(np.abs(lat0), np.abs(lat1))) + 1.0))), 0.05
-    )
+    # one GLOBAL lng step must be safe for every polygon: a cell's lng
+    # extent is smallest at the batch's minimum |lat| (cos largest), so
+    # divide by the largest cos — using max |lat| here undersamples
+    # low-latitude polygons and silently drops their cells
+    min_abs = np.where((lat0 <= 0.0) & (lat1 >= 0.0), 0.0, np.minimum(np.abs(lat0), np.abs(lat1)))
+    coslat_g = max(float(np.cos(np.radians(np.min(min_abs)))), 0.05)
     s_lng = s / coslat_g
     i0 = np.floor((lat0 - pad) / s).astype(np.int64)
     i1 = np.ceil((lat1 + pad) / s).astype(np.int64)

@@ -132,7 +132,11 @@ def ppm_decode(data: bytes) -> np.ndarray:
             pos += 1
         parts.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
-    w, h, _maxval = parts
+    w, h, maxval = parts
+    if maxval != 255:
+        # maxval > 255 means 2 bytes/sample — reading uint8 would return
+        # garbage silently; fail loudly like png_decode does
+        raise ValueError(f"P6 maxval {maxval} unsupported (only 255)")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3).copy()
 
@@ -163,20 +167,26 @@ _DCT32 = _dct_matrix(32)
 
 
 def _resize_mean(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Deterministic area-average resize to (size, size)."""
+    """Deterministic area-average resize to (size, size). Bins cover at
+    least one source pixel: upscaling (source < size) replicates the
+    nearest pixel instead of emitting zero rows (no-op on downscale).
+    MUST stay bit-identical to sources/synth._phash_batch — bump
+    synth.GEN_VERSION with any change here."""
     h, w = gray.shape
-    ye = (np.arange(size + 1) * h) // size
-    xe = (np.arange(size + 1) * w) // size
+    lo_y = (np.arange(size) * h) // size
+    hi_y = np.maximum((np.arange(1, size + 1) * h) // size, lo_y + 1)
+    lo_x = (np.arange(size) * w) // size
+    hi_x = np.maximum((np.arange(1, size + 1) * w) // size, lo_x + 1)
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
     out = (
-        csum[ye[1:], :][:, xe[1:]]
-        - csum[ye[:-1], :][:, xe[1:]]
-        - csum[ye[1:], :][:, xe[:-1]]
-        + csum[ye[:-1], :][:, xe[:-1]]
+        csum[hi_y, :][:, hi_x]
+        - csum[lo_y, :][:, hi_x]
+        - csum[hi_y, :][:, lo_x]
+        + csum[lo_y, :][:, lo_x]
     )
-    area = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
-    return out / np.maximum(area, 1)
+    area = (hi_y - lo_y)[:, None] * (hi_x - lo_x)[None, :]
+    return out / area
 
 
 def phash64(rgb: np.ndarray) -> int:

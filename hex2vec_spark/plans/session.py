@@ -37,6 +37,11 @@ def get_spark(
         # past the 1g default
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g")
+        # UTC pin: timestamp literals and date_format render in the
+        # session zone; the DuckDB oracle prints raw stored values, so
+        # any host TZ other than UTC would shift every rendered/compared
+        # timestamp
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -47,8 +47,10 @@ HOT_FRACTION = 0.20
 
 # bump when any generator math changes: parquet caches of the synthetic
 # table are keyed by (version, row count) so a code change can never
-# silently serve stale cached rows
-GEN_VERSION = 1
+# silently serve stale cached rows.
+# v2: clamped resize bins in _phash_batch (16x16 phash no longer hashes
+# zero-striped upsamples; 32/48/64 shapes unchanged)
+GEN_VERSION = 2
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
@@ -86,22 +88,25 @@ def _pixels_for(ids: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def _phash_batch(px: np.ndarray) -> np.ndarray:
-    """Batched DCT pHash, bit-identical to hexlib.image.phash64 per row."""
+    """Batched DCT pHash, bit-identical to hexlib.image.phash64 per row
+    (same clamped bin edges as image._resize_mean: upscale replicates
+    the nearest pixel — matters for the 16x16 shape class)."""
     k, h, w, _ = px.shape
     gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    # area-average resize to 32x32 (same edges as image._resize_mean)
-    ye = (np.arange(33) * h) // 32
-    xe = (np.arange(33) * w) // 32
+    lo_y = (np.arange(32) * h) // 32
+    hi_y = np.maximum((np.arange(1, 33) * h) // 32, lo_y + 1)
+    lo_x = (np.arange(32) * w) // 32
+    hi_x = np.maximum((np.arange(1, 33) * w) // 32, lo_x + 1)
     csum = np.zeros((k, h + 1, w + 1))
     csum[:, 1:, 1:] = gray.cumsum(1).cumsum(2)
     out = (
-        csum[:, ye[1:], :][:, :, xe[1:]]
-        - csum[:, ye[:-1], :][:, :, xe[1:]]
-        - csum[:, ye[1:], :][:, :, xe[:-1]]
-        + csum[:, ye[:-1], :][:, :, xe[:-1]]
+        csum[:, hi_y, :][:, :, hi_x]
+        - csum[:, lo_y, :][:, :, hi_x]
+        - csum[:, hi_y, :][:, :, lo_x]
+        + csum[:, lo_y, :][:, :, lo_x]
     )
-    area = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
-    small = out / np.maximum(area, 1)
+    area = (hi_y - lo_y)[:, None] * (hi_x - lo_x)[None, :]
+    small = out / area
     D = im._DCT32
     d = np.matmul(np.matmul(D[None, :, :], small), D.T[None, :, :])
     block = d[:, :8, :8].reshape(k, 64)
@@ -204,18 +209,24 @@ def images_table(spark, n: int, num_partitions: int | None = None):
     )
 
 
-def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
-    """Parquet-backed images table, content-addressed by (generator
-    version, row count) — the generator is a pure function of the row
-    id, and the version key means a generator change can never silently
-    serve stale cached rows. A mapInPandas source regenerates —
-    including the PNG deflate — on every action and blocks column
-    pruning; a parquet scan is generated once and prunes (shared
-    convention with bench.cached_flagship_input)."""
+def images_cache_path(n: int, base_dir: str = "/tmp") -> str:
+    """THE cache path for the synthetic table at ``n`` rows — keyed by
+    generator version so a math change can never serve stale rows. All
+    consumers (queries, bench, scaling) must use this one function."""
     import os
 
     suffix = "" if GEN_VERSION == 1 else f"_v{GEN_VERSION}"
-    path = os.path.join(base_dir, f"hexscale_cache_{n}{suffix}")
+    return os.path.join(base_dir, f"hexscale_cache_{n}{suffix}")
+
+
+def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
+    """Parquet-backed images table at the versioned cache path. A
+    mapInPandas source regenerates — including the PNG deflate — on
+    every action and blocks column pruning; a parquet scan is generated
+    once and prunes."""
+    import os
+
+    path = images_cache_path(n, base_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         images_table(spark, n).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

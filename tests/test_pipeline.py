@@ -145,6 +145,35 @@ class TestPolygonJoin:
         assert (per_obj > 1).mean() > 0.5
 
 
+class TestCoverBatchLatitudes:
+    def test_mixed_latitude_batch_matches_scalar(self):
+        # one GLOBAL lng sample step must stay safe for every polygon in
+        # the batch: deriving it from the max |lat| undersampled
+        # low-latitude polygons (up to 75% of cells silently dropped)
+        from hex2vec_spark.hexlib import geom
+
+        def scalar_cover(la, ln):
+            la, ln = np.asarray(la), np.asarray(ln)
+            cand = h3core.cells_covering_bbox(la, ln, 8, pad_cells=1.0)
+            verts = h3core.cell_boundary(cand)
+            hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], la, ln)
+            return set(cand[hit].tolist())
+
+        polys = [
+            ([0.0, 0.0, 0.05, 0.05], [0.0, 0.06, 0.06, 0.0]),          # equator
+            ([-0.03, -0.03, 0.02, 0.02], [5.0, 5.06, 5.06, 5.0]),      # crosses 0
+            ([80.0, 80.0, 80.05, 80.05], [10.0, 10.06, 10.06, 10.0]),  # high lat
+        ]
+        rl = [p[0] for p in polys]
+        rg = [p[1] for p in polys]
+        p, c = h3core.cover_intersect_batch(rl, rg, 8, pad_cells=1.0)
+        got = [set() for _ in rl]
+        for pi, ci in zip(p, c):
+            got[pi].add(int(ci))
+        for i in range(len(polys)):
+            assert got[i] == scalar_cover(rl[i], rg[i])
+
+
 class TestNeighbors:
     def test_context_pairs_match_oracle(self, spark, oracle_images):
         from hex2vec_spark.operators.neighbors import context_pairs

@@ -46,40 +46,47 @@ def main(only: list[str]) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR)
-            spdf = sdf.toPandas()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
-            failures += 1
-            continue
-        el = time.time() - t0
-        if name not in oracles:
-            print(f"ok-   {name}: rows-only {len(spdf)} rows ({el:.1f}s)")
-            if len(spdf) == 0:
-                print(f"WARN  {name}: zero rows")
-            continue
-        opdf = con.sql(oracles[name]).df()
-        n_ok = len(spdf) == len(opdf)
-        cols_ok = sorted(spdf.columns) == sorted(opdf.columns)
-        h_ok = cols_ok and value_hash(spdf) == value_hash(opdf)
-        if n_ok and cols_ok and h_ok:
-            print(f"OK    {name}: {len(spdf)} rows ({el:.1f}s)")
-        else:
-            failures += 1
-            print(
-                f"FAIL  {name}: rows {len(spdf)} vs {len(opdf)}, cols_ok={cols_ok}, hash_ok={h_ok}"
-            )
-            if cols_ok and len(spdf) and len(opdf):
-                s = spdf[sorted(spdf.columns)].sort_values(sorted(spdf.columns)).head(3)
-                o = opdf[sorted(opdf.columns)].sort_values(sorted(opdf.columns)).head(3)
-                print("  spark:", s.to_dict("records"))
-                print("  duck :", o.to_dict("records"))
-    spark.stop()
+    try:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                sdf = fn(spark, SF_DIR)
+                spdf = sdf.toPandas()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+                failures += 1
+                continue
+            el = time.time() - t0
+            if name not in oracles:
+                print(f"ok-   {name}: rows-only {len(spdf)} rows ({el:.1f}s)")
+                if len(spdf) == 0:
+                    print(f"WARN  {name}: zero rows")
+                continue
+            try:
+                opdf = con.sql(oracles[name]).df()
+            except Exception as e:  # noqa: BLE001 — a broken oracle is one failure, not an abort
+                print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+                failures += 1
+                continue
+            n_ok = len(spdf) == len(opdf)
+            cols_ok = sorted(spdf.columns) == sorted(opdf.columns)
+            h_ok = cols_ok and value_hash(spdf) == value_hash(opdf)
+            if n_ok and cols_ok and h_ok:
+                print(f"OK    {name}: {len(spdf)} rows ({el:.1f}s)")
+            else:
+                failures += 1
+                print(
+                    f"FAIL  {name}: rows {len(spdf)} vs {len(opdf)}, cols_ok={cols_ok}, hash_ok={h_ok}"
+                )
+                if cols_ok and len(spdf) and len(opdf):
+                    s = spdf[sorted(spdf.columns)].sort_values(sorted(spdf.columns)).head(3)
+                    o = opdf[sorted(opdf.columns)].sort_values(sorted(opdf.columns)).head(3)
+                    print("  spark:", s.to_dict("records"))
+                    print("  duck :", o.to_dict("records"))
+    finally:
+        spark.stop()
     print("failures:", failures)
     return 1 if failures else 0
 
