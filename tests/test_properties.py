@@ -59,6 +59,36 @@ class TestH3Properties:
         assert inside[0]
 
 
+class TestCoverBatchProperty:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lat=st.floats(min_value=-70.0, max_value=70.0, allow_nan=False),
+        lng=st.floats(min_value=-170.0, max_value=170.0, allow_nan=False),
+        dlat=st.floats(min_value=0.001, max_value=0.05, allow_nan=False),
+        dlng=st.floats(min_value=0.001, max_value=0.05, allow_nan=False),
+    )
+    def test_batch_cover_equals_scalar(self, lat, lng, dlat, dlng):
+        # batched global-lattice cover must equal the per-polygon scalar
+        # path for any polygon anywhere (including a second polygon at a
+        # very different latitude in the same batch)
+        rings = [
+            ([lat, lat, lat + dlat, lat + dlat], [lng, lng + dlng, lng + dlng, lng]),
+            ([0.0, 0.0, 0.02, 0.02], [1.0, 1.03, 1.03, 1.0]),
+        ]
+        rl = [r[0] for r in rings]
+        rg = [r[1] for r in rings]
+        p, c = h3core.cover_intersect_batch(rl, rg, 8, pad_cells=1.0)
+        got = [set() for _ in rings]
+        for pi, ci in zip(p, c):
+            got[pi].add(int(ci))
+        for i, (la, ln) in enumerate(rings):
+            la, ln = np.asarray(la), np.asarray(ln)
+            cand = h3core.cells_covering_bbox(la, ln, 8, pad_cells=1.0)
+            verts = h3core.cell_boundary(cand)
+            hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], la, ln)
+            assert got[i] == set(cand[hit].tolist())
+
+
 class TestGeomProperties:
     @settings(max_examples=50, deadline=None)
     @given(
