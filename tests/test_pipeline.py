@@ -321,6 +321,27 @@ class TestViz:
         assert (sdf["h3_str"].to_numpy() == strs).all()
 
 
+class TestStaleBuckets:
+    def test_read_stage_excludes_stale_buckets(self, spark, tmp_path):
+        from hex2vec_spark.sources.iceberg_lite import read_stage, run_stage
+        from hex2vec_spark.sources.synth import images_table
+
+        src = images_table(spark, 300)
+
+        def transform(df):
+            return assign_h3(df, res=RES).select("image_id", "h3")
+
+        out = str(tmp_path / "stage")
+        run_stage(spark, src, out, transform, n_buckets=4, input_fingerprint="a")
+        # shrink the bucket count with a new fingerprint: buckets 0-1 are
+        # rewritten, 2-3 remain on disk from the old run
+        run_stage(spark, src, out, transform, n_buckets=2, input_fingerprint="b")
+        n_scoped = read_stage(spark, out, n_buckets=2).count()
+        n_glob = read_stage(spark, out).count()
+        assert n_scoped == 300          # exactly this run's rows
+        assert n_glob > n_scoped        # the glob would mix in stale dirs
+
+
 class TestResume:
     def test_run_stage_resumes(self, spark, tmp_path):
         import json
