@@ -100,11 +100,11 @@ class TestPhash:
         # mild quantization should flip few bits
         q = (px // 8 * 8).astype(np.uint8)
         h2 = im.phash64(q)
-        dist = bin(np.uint64(h1) ^ np.uint64(h2)).count("1")
+        dist = bin(np.int64(h1).view(np.uint64) ^ np.int64(h2).view(np.uint64)).count("1")
         assert dist <= 10
         # a very different image should differ a lot
         h3 = im.phash64(255 - _pattern(77, 64, 64)[:, ::-1])
-        assert bin(np.uint64(h1) ^ np.uint64(h3)).count("1") >= 16
+        assert bin(np.int64(h1).view(np.uint64) ^ np.int64(h3).view(np.uint64)).count("1") >= 16
 
     def test_psnr_quantization_over_40db(self):
         """input_hint invariant: lossy round-trips keep PSNR >= 40 dB."""

@@ -179,6 +179,33 @@ class TestKnnCentroidsPruned:
                       knn_cell_centroids_pruned(corpus, q, k=8, res=8).collect()]
             assert pruned == exact
 
+    def test_distant_annulus_corpus(self, spark):
+        # stress the ring-expansion exit bound: every corpus cell sits in
+        # a thin annulus far from the query, so the k-th hit stays close
+        # to the outside-ring bound for several expansion rounds; the
+        # result must still equal the exact scan (including queries that
+        # force the max_ring exact fallback)
+        import numpy as np
+        import pandas as pd
+
+        from hex2vec_spark.hexlib import h3core
+        from hex2vec_spark.operators.knn import knn_cell_centroids, knn_cell_centroids_pruned
+
+        rng = np.random.default_rng(3)
+        # annulus 0.5-0.7 deg from (41, 15.5): ~6-9 res-5 parent rings
+        theta = rng.uniform(0, 2 * np.pi, 400)
+        rad = rng.uniform(0.5, 0.7, 400)
+        lat = 41.0 + rad * np.sin(theta)
+        lng = 15.5 + rad * np.cos(theta) / np.cos(np.radians(41.0))
+        cells = np.unique(h3core.encode(lat, lng, 8))
+        corpus = spark.createDataFrame(pd.DataFrame({"h3": cells.view(np.int64)}))
+        for q, gap in [((41.0, 15.5), 3), ((41.0, 15.5), 2)]:
+            exact = [(r["h3"], round(r["dist_m"], 3)) for r in
+                     knn_cell_centroids(corpus, q, k=8).collect()]
+            pruned = [(r["h3"], round(r["dist_m"], 3)) for r in
+                      knn_cell_centroids_pruned(corpus, q, k=8, res=8, prefix_gap=gap).collect()]
+            assert pruned == exact
+
 
 class TestPlantedDups:
     def test_minhash_finds_planted_near_dup(self, spark):
