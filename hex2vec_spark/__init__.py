@@ -7,3 +7,38 @@ operator inventory and the file:line parity citations.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public surface: keep `import hex2vec_spark` free of pyspark
+    # import cost until an API symbol is touched
+    api = {
+        "build_dataset": "plans.pipeline",
+        "load_processed": "plans.pipeline",
+        "build_neighbor_dataset": "plans.pipeline",
+        "get_spark": "plans.session",
+        "spatial_join": "operators.spatial",
+        "polygon_spatial_join": "operators.spatial",
+        "assign_h3": "operators.spatial",
+        "build_tiling": "operators.spatial",
+        "tiling_table": "operators.spatial",
+        "hex_features": "operators.agg",
+        "salted_count": "operators.agg",
+        "adaptive_salted_count": "operators.agg",
+        "context_pairs": "operators.neighbors",
+        "sample_negatives": "operators.neighbors",
+        "cosine_topk": "operators.knn",
+        "build_ivf_index": "operators.knn",
+        "query_ivf_index": "operators.knn",
+        "salted_equi_join": "operators.joins",
+        "images_table": "sources.synth",
+        "commit_table": "sources.iceberg_lite",
+        "read_table": "sources.iceberg_lite",
+        "run_stage": "sources.iceberg_lite",
+    }
+    if name in api:
+        import importlib
+
+        mod = importlib.import_module(f".{api[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
