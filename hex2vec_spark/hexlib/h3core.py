@@ -121,22 +121,26 @@ def _chain_in_home(xyz: np.ndarray, bc: np.ndarray, res: int):
     return consistent, digits, key, home
 
 
-def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
+def encode(lat_deg, lng_deg, res: int, _depth: int = 0) -> np.ndarray:
     """Vectorized geo -> H3 cell index (uint64).
 
-    Cell identity must be a pure function of the *cell*, not of which
-    point inside it we encode. Near base-cell seams two base cells can
-    both hierarchically claim a point (gnomonic frames of different home
-    faces drift O(eps^2)), so we enumerate every base cell whose center
-    is within the stray radius (+ one cell circumradius so a cell center
-    and any interior point see the same candidate set), test each for
-    hierarchy consistency in its own home frame, and deterministically
-    keep the lowest-id consistent one.
+    Identity rule (H3-style point's-face authority): the lattice of the
+    point's OWN nearest face decides which res-0 slot — and therefore
+    which base cell — the point belongs to; one projection + one integer
+    chain per point. When the slot's cell is canonically homed on a
+    different face, the chain's offsets are transferred into the home
+    frame by the local linear map between the two gnomonic frames
+    (_build_xfer), so the packed digits always decode in the cell's home
+    frame. Face-interior points (the overwhelming majority) take the
+    one-chain fast path with results identical to a home-frame
+    consistency test.
 
-    Fast path (res >= 3): candidates come from the 16 anchor cells of the
-    nearest face, scored by true 3D angle against their cell centers —
-    no 122-wide scoring, and rows with a single in-radius candidate (the
-    deep-interior majority) run exactly one integer-axial chain.
+    Residual approximation: the frame transfer is the first-order map
+    around the cell center; second-order gnomonic warp leaves thin
+    slivers near seams where a point's assigned cell center can sit up
+    to ~2 cell radii away and center-reencode can flip to a neighbor
+    (measured ~0.2% of an area-uniform global sample; 0% on
+    face-interior regions like the engine's active bbox).
     """
     lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
     lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
@@ -145,69 +149,95 @@ def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
 
-    cos_thresh = np.float32(np.cos(STRAY_RAD + _CIRC_RAD[res] + 0.02))
-    if res >= 3:
-        # scoring runs in float32 (the 0.02 rad slack in the threshold
-        # dwarfs f32 error) and per-face GEMM: grouping rows by nearest
-        # face turns the (N,16,3) center gather + batched dot — which
-        # this host's first-touch page faults make the dominant encode
-        # cost — into <=20 small (m,3)@(3,16) BLAS calls on views.
-        xyz32 = xyz.astype(np.float32)
-        face = np.argmax(xyz32 @ ic.FACE_CENTER.astype(np.float32).T, axis=1)
-        cand_bc_all = ic.FACE_ANCHOR_BC[face].astype(np.int16)  # (N, 16)
-        cosang = np.empty((n, 16), dtype=np.float32)
-        for f in np.unique(face):
-            m = face == f
-            anchors = ic.FACE_ANCHOR_BC[f]
-            cosang[m] = xyz32[m] @ ic.BC_CENTER[anchors].astype(np.float32).T
-    else:
-        cand_bc_all = np.broadcast_to(
-            np.arange(122, dtype=np.int16), (n, 122)
-        )
-        cosang = (xyz.astype(np.float32) @ ic.BC_CENTER.astype(np.float32).T)
-
-    in_rad = cosang >= cos_thresh
-    # candidate bc ids sorted ascending, invalid -> 999 (first consistent
-    # in this order == lowest-id consistent)
-    cand_sorted = np.where(in_rad, cand_bc_all, np.int16(999))
-    cand_sorted.sort(axis=1)
-    # ensure at least one candidate: nearest center as a last resort
-    none = cand_sorted[:, 0] == 999
-    if np.any(none):
-        cand_sorted[none, 0] = cand_bc_all[none, np.argmax(cosang[none], axis=1)]
+    face = np.argmax(xyz.astype(np.float32) @ ic.FACE_CENTER.astype(np.float32).T, axis=1)
+    xh, yh = ic.project(face, xyz)
+    xr, yr = hm.res0_to_res_xy(xh, yh, res)
+    a, b = hm.hex2d_to_axial(xr, yr)
+    a0, b0, digits = hm.chain_up_digits_axial(a, b, res)
+    in_win = (np.abs(a0) <= 2) & (np.abs(b0) <= 2)
+    key = np.where(in_win, (a0 + 2) * 5 + (b0 + 2), -1)
+    bc = np.where(key >= 0, ic.ANCHOR_KEY_BC[face, np.maximum(key, 0)], -1)
 
     best_bc = np.full(n, -1, dtype=np.int64)
     best_digits = np.empty((n, res), dtype=np.int64)
-    fallback_bc = np.full(n, -1, dtype=np.int64)
-    fallback_digits = np.empty((n, res), dtype=np.int64)
-    undecided = np.arange(n)
-    kmax = cand_sorted.shape[1]
-    for k in range(kmax):
-        if undecided.size == 0:
-            break
-        bc_k = cand_sorted[undecided, k]
-        act = bc_k < 999
-        if k > 0 and not np.any(act):
-            break
-        rows = undecided[act] if not np.all(act) else undecided
-        bc_k = bc_k[act] if not np.all(act) else bc_k
-        consistent, digits, key, home = _chain_in_home(xyz[rows], bc_k, res)
-        if k == 0:
-            fb = ic.ANCHOR_KEY_BC[home, np.maximum(key, 0)]
-            fb = np.where((key >= 0) & (fb >= 0), fb, bc_k)
-            fallback_bc[rows] = fb
-            fallback_digits[rows] = digits
-        win = rows[consistent]
-        best_bc[win] = bc_k[consistent]
-        best_digits[win] = digits[consistent]
-        # drop decided rows and rows with no further candidates
-        undecided = rows[~consistent]
-    miss = best_bc < 0
-    if np.any(miss):
-        # no consistent fixed point (pentagon seams, measure ~0):
-        # accept the nearest-candidate chain result
-        best_bc[miss] = fallback_bc[miss]
-        best_digits[miss] = fallback_digits[miss]
+
+    ok = bc >= 0
+    same = ok & (ic.HOME_FACE[np.maximum(bc, 0)] == face)
+    best_bc[same] = bc[same]
+    best_digits[same] = digits[same]
+
+    foreign = ok & ~same
+    if np.any(foreign):
+        # the point's face says the point belongs to cell X homed on a
+        # different face: chain the EXACT projection of the point in X's
+        # home frame (the transfer between gnomonic frames is exact for
+        # a physical point — no linear approximation)
+        g = np.where(foreign)[0]
+        bc_g = bc[g]
+        consistent, dgh, _, _ = _chain_in_home(xyz[g], bc_g, res)
+        gc = g[consistent]
+        best_bc[gc] = bc_g[consistent]
+        best_digits[gc] = dgh[consistent]
+        # rows whose home chain disagrees fall to the consistency scan
+        # below (some other cell may claim them exactly); true gaps get
+        # the clamp there as last resort
+
+    rows = np.where(best_bc < 0)[0]
+    if rows.size:
+        # seam slivers + anchor-window misses: home-frame consistency
+        # scan over every in-radius base cell (lowest consistent id wins)
+        cos_thresh = np.float32(np.cos(STRAY_RAD + _CIRC_RAD[res] + 0.02))
+        cos_all = xyz[rows].astype(np.float32) @ ic.BC_CENTER.astype(np.float32).T
+        ids = np.broadcast_to(np.arange(122, dtype=np.int16), (len(rows), 122))
+        cand = np.where(cos_all >= cos_thresh, ids, np.int16(999)).copy()
+        cand.sort(axis=1)
+        und = np.arange(len(rows))
+        for k in range(cand.shape[1]):
+            if und.size == 0:
+                break
+            bc_k = cand[und, k]
+            act = bc_k < 999
+            if not np.any(act):
+                break
+            sel = und[act]
+            bc_s = bc_k[act].astype(np.int64)
+            g = rows[sel]
+            consistent, dgc, _, _ = _chain_in_home(xyz[g], bc_s, res)
+            gw = g[consistent]
+            best_bc[gw] = bc_s[consistent]
+            best_digits[gw] = dgc[consistent]
+            und = sel[~consistent]
+        left = np.where(best_bc < 0)[0]
+        if left.size:
+            # genuine gap slivers: no cell's home chain accepts the
+            # point (second-order gnomonic warp between frames). Keep
+            # the face-authority identity where available (else nearest
+            # center) and CLAMP the position: walk the point toward the
+            # owning cell's center on the sphere with a fixed geometric
+            # ladder until its home chain accepts it (t=1 is the center
+            # itself, so the ladder terminates). Deterministic; decode
+            # error bounded by ~the walked distance (the warp gap) — not
+            # a different face.
+            bc_l = np.where(
+                bc[left] >= 0,
+                bc[left],
+                np.argmax(xyz[left] @ ic.BC_CENTER.T, axis=1).astype(np.int64),
+            )
+            c = ic.BC_CENTER[bc_l]
+            base = xyz[left]
+            done = np.zeros(len(left), dtype=bool)
+            for step in range(9):
+                t = 2.0 ** (step - 8)  # 1/256 .. 1
+                p = (1.0 - t) * base + t * c
+                p = p / np.linalg.norm(p, axis=1, keepdims=True)
+                cons, dgt, _, _ = _chain_in_home(p, bc_l, res)
+                newly = cons & ~done
+                rr = left[newly]
+                best_bc[rr] = bc_l[newly]
+                best_digits[rr] = dgt[newly]
+                done |= cons
+                if done.all():
+                    break
     return pack(best_bc, best_digits, res)
 
 
