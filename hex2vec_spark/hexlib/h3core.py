@@ -251,6 +251,12 @@ def _cells_to_home_xy(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     res = int(res_arr[0]) if res_arr.size else 0
     if res_arr.size and not np.all(res_arr == res):
         raise ValueError("mixed resolutions in one batch are not supported")
+    # validate before table lookups: a malformed id would otherwise
+    # surface as a bare IndexError deep inside NumPy
+    if bc.size and (int(bc.max()) > 121 or int(bc.min()) < 0):
+        raise ValueError(f"invalid base cell in H3 index (max {int(bc.max())}, must be 0..121)")
+    if res and digits.size and int(digits[..., :res].max()) > 6:
+        raise ValueError("invalid digit > 6 in H3 index")
     home = ic.HOME_FACE[bc]
     ha = ic.HOME_AXIAL[bc]
     a, b = hm.chain_down_axial(ha[..., 0].copy(), ha[..., 1].copy(), digits, res)

@@ -326,10 +326,14 @@ def project(face: np.ndarray, xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     Valid for any point with positive dot against the face center
     (extension beyond the face triangle is used deliberately for
-    home-frame cell definitions; see h3core docstring).
+    home-frame cell definitions; see h3core docstring). A non-positive
+    dot would silently alias the antipode onto plausible coordinates, so
+    it is rejected loudly.
     """
     c = FACE_CENTER[face]
     d = np.einsum("...k,...k->...", xyz, c)
+    if d.size and float(np.min(d)) <= 1e-9:
+        raise ValueError("gnomonic projection requires positive dot with the face center")
     p = xyz / d[..., None]  # onto tangent plane
     rel = p - c
     x = np.einsum("...k,...k->...", rel, FACE_T1[face]) / RES0_U
