@@ -225,19 +225,35 @@ def encode(lat_deg, lng_deg, res: int, _depth: int = 0) -> np.ndarray:
             )
             c = ic.BC_CENTER[bc_l]
             base = xyz[left]
+
+            def _probe(t_arr):
+                p = (1.0 - t_arr[:, None]) * base + t_arr[:, None] * c
+                p = p / np.linalg.norm(p, axis=1, keepdims=True)
+                return _chain_in_home(p, bc_l, res)
+
+            # coarse geometric ladder to bracket the acceptance threshold
+            t_hi = np.ones(len(left))
+            t_lo = np.zeros(len(left))
             done = np.zeros(len(left), dtype=bool)
             for step in range(9):
-                t = 2.0 ** (step - 8)  # 1/256 .. 1
-                p = (1.0 - t) * base + t * c
-                p = p / np.linalg.norm(p, axis=1, keepdims=True)
-                cons, dgt, _, _ = _chain_in_home(p, bc_l, res)
+                t = np.full(len(left), 2.0 ** (step - 8))  # 1/256 .. 1
+                cons, _, _, _ = _probe(t)
                 newly = cons & ~done
-                rr = left[newly]
-                best_bc[rr] = bc_l[newly]
-                best_digits[rr] = dgt[newly]
+                t_hi[newly] = t[newly]
+                t_lo[~cons & ~done] = t[~cons & ~done]
                 done |= cons
                 if done.all():
                     break
+            # bisection refine: halve the walked distance a few times
+            for _ in range(5):
+                t_mid = 0.5 * (t_lo + t_hi)
+                cons, _, _, _ = _probe(t_mid)
+                t_hi = np.where(cons, t_mid, t_hi)
+                t_lo = np.where(cons, t_lo, t_mid)
+            cons, dgt, _, _ = _probe(t_hi)
+            # t_hi always accepted at least once (t=1 is the center)
+            best_bc[left] = bc_l
+            best_digits[left] = dgt
     return pack(best_bc, best_digits, res)
 
 
