@@ -13,18 +13,18 @@ with the public H3 64-bit index layout:
 Cell definition (self-consistent; see hexlib/icosa.py for the derived
 face/base-cell tables):
 
-  * ``encode(lat, lng, res)``: find the nearest icosahedron face, project
-    gnomonically, hex-round at res ``res``, chain up to res 0 to find the
-    hierarchical base cell, then recompute the digit path **in the base
-    cell's home-face frame** (gnomonically extended across face edges).
-    A short fixed-point iteration re-homes the rare points whose
-    home-frame hierarchy disagrees with the first-guess frame, so every
-    point in a cell maps to one index.
-  * ``cell_center``/``cell_boundary`` invert that definition exactly in
-    the home frame, so encode(center(c)) == c for every reachable cell.
+  * ``encode(lat, lng, res)``: the point's nearest icosahedron face has
+    authority — project gnomonically, hex-round at res ``res``, chain up
+    to res 0 to find the owning base cell, then re-chain the exact
+    projection **in the base cell's home-face frame** (see encode's
+    docstring for the dispute/clamp handling near seams).
+  * ``cell_center``/``cell_boundary`` invert that definition in the home
+    frame. encode(center(c)) == c everywhere except warp-gap slivers
+    near base-cell seams (<0.1% of an area-uniform global sample —
+    property-tested bound; 0% on face-interior regions) and the 12
+    pentagon footprints (documented approximation).
   * ``kring`` walks neighbors ring-by-ring via 1-step center probes and
-    re-encoding (exact away from the 12 pentagon footprints, where the
-    grid is consistent but locally distorted — documented limitation).
+    re-encoding (same seam/pentagon caveats; exact in face interiors).
 
 Semantics mirror the reference's use of the h3 lib (geo_to_h3/polyfill/
 k_ring/h3_to_geo_boundary at kraina-ai/hex2vec src/data/make_dataset.py:
@@ -121,26 +121,27 @@ def _chain_in_home(xyz: np.ndarray, bc: np.ndarray, res: int):
     return consistent, digits, key, home
 
 
-def encode(lat_deg, lng_deg, res: int, _depth: int = 0) -> np.ndarray:
+def encode(lat_deg, lng_deg, res: int) -> np.ndarray:
     """Vectorized geo -> H3 cell index (uint64).
 
     Identity rule (H3-style point's-face authority): the lattice of the
     point's OWN nearest face decides which res-0 slot — and therefore
     which base cell — the point belongs to; one projection + one integer
     chain per point. When the slot's cell is canonically homed on a
-    different face, the chain's offsets are transferred into the home
-    frame by the local linear map between the two gnomonic frames
-    (_build_xfer), so the packed digits always decode in the cell's home
-    frame. Face-interior points (the overwhelming majority) take the
-    one-chain fast path with results identical to a home-frame
-    consistency test.
+    different face, the point is re-projected EXACTLY into that home
+    frame and re-chained there, so packed digits always decode in the
+    cell's home frame. Rows the home frame disputes fall to a full
+    in-radius home-consistency scan; genuine warp-gap slivers clamp the
+    position toward the owning cell's center (geometric ladder +
+    bisection) until the home chain accepts it.
 
-    Residual approximation: the frame transfer is the first-order map
-    around the cell center; second-order gnomonic warp leaves thin
-    slivers near seams where a point's assigned cell center can sit up
-    to ~2 cell radii away and center-reencode can flip to a neighbor
-    (measured ~0.2% of an area-uniform global sample; 0% on
-    face-interior regions like the engine's active bbox).
+    Residual approximation: second-order gnomonic warp between frames
+    leaves thin slivers near base-cell seams where the assigned cell
+    center can sit beyond 2 cell radii from the point (~2.8% of an
+    area-uniform global sample, bounded by the walked gap — max ~370 km,
+    never a different face) and center-reencode can flip to a neighbor
+    (<0.1%). Face-interior regions — e.g. the engine's active bbox —
+    are exact (0 of 200k sampled points).
     """
     lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
     lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
@@ -226,32 +227,33 @@ def encode(lat_deg, lng_deg, res: int, _depth: int = 0) -> np.ndarray:
             c = ic.BC_CENTER[bc_l]
             base = xyz[left]
 
-            def _probe(t_arr):
-                p = (1.0 - t_arr[:, None]) * base + t_arr[:, None] * c
+            def _probe(idx, t_arr):
+                p = (1.0 - t_arr[:, None]) * base[idx] + t_arr[:, None] * c[idx]
                 p = p / np.linalg.norm(p, axis=1, keepdims=True)
-                return _chain_in_home(p, bc_l, res)
+                return _chain_in_home(p, bc_l[idx], res)
 
-            # coarse geometric ladder to bracket the acceptance threshold
+            # coarse geometric ladder to bracket the acceptance
+            # threshold, probing only still-undone rows per step
             t_hi = np.ones(len(left))
             t_lo = np.zeros(len(left))
-            done = np.zeros(len(left), dtype=bool)
+            active = np.arange(len(left))
             for step in range(9):
-                t = np.full(len(left), 2.0 ** (step - 8))  # 1/256 .. 1
-                cons, _, _, _ = _probe(t)
-                newly = cons & ~done
-                t_hi[newly] = t[newly]
-                t_lo[~cons & ~done] = t[~cons & ~done]
-                done |= cons
-                if done.all():
+                if active.size == 0:
                     break
+                t = np.full(len(active), 2.0 ** (step - 8))  # 1/256 .. 1
+                cons, _, _, _ = _probe(active, t)
+                t_hi[active[cons]] = t[cons]
+                t_lo[active[~cons]] = t[~cons]
+                active = active[~cons]
             # bisection refine: halve the walked distance a few times
+            allr = np.arange(len(left))
             for _ in range(5):
                 t_mid = 0.5 * (t_lo + t_hi)
-                cons, _, _, _ = _probe(t_mid)
+                cons, _, _, _ = _probe(allr, t_mid)
                 t_hi = np.where(cons, t_mid, t_hi)
                 t_lo = np.where(cons, t_lo, t_mid)
-            cons, dgt, _, _ = _probe(t_hi)
-            # t_hi always accepted at least once (t=1 is the center)
+            # t_hi was accepted at least once (t=1 is the center)
+            _, dgt, _, _ = _probe(allr, t_hi)
             best_bc[left] = bc_l
             best_digits[left] = dgt
     return pack(best_bc, best_digits, res)
@@ -480,6 +482,21 @@ def cover_intersect_batch(
     for i in range(P):
         r_lat = np.asarray(rings_lat[i], dtype=np.float64)
         r_lng = np.asarray(rings_lng[i], dtype=np.float64)
+        # validate loudly: a short/mismatched ring would leave np.empty
+        # garbage in the padding, a NaN would cast to INT64_MIN in the
+        # grid sizing, and either silently corrupts the whole batch
+        if len(r_lat) != len(r_lng) or len(r_lat) < 3:
+            raise ValueError(
+                f"ring {i}: need >=3 matching lat/lng vertices "
+                f"(got {len(r_lat)}/{len(r_lng)})"
+            )
+        if not (np.isfinite(r_lat).all() and np.isfinite(r_lng).all()):
+            raise ValueError(f"ring {i}: non-finite vertex")
+        if r_lng.max() - r_lng.min() > 180.0:
+            raise ValueError(
+                f"ring {i}: lng span > 180 deg (antimeridian-crossing "
+                "polygons are unsupported — split at the seam first)"
+            )
         ring_lat[i, : len(r_lat)] = r_lat
         ring_lng[i, : len(r_lng)] = r_lng
         if len(r_lat) < R:  # pad by repeating the last vertex (predicate-safe)
@@ -503,7 +520,26 @@ def cover_intersect_batch(
     # divide by the largest cos — using max |lat| here undersamples
     # low-latitude polygons and silently drops their cells
     min_abs = np.where((lat0 <= 0.0) & (lat1 >= 0.0), 0.0, np.minimum(np.abs(lat0), np.abs(lat1)))
-    coslat_g = max(float(np.cos(np.radians(np.min(min_abs)))), 0.05)
+    cos_need = np.maximum(np.cos(np.radians(min_abs)), 0.05)  # per-poly safe cos
+    coslat_g = float(cos_need.max())
+    if coslat_g / float(cos_need.min()) > 2.0 and P > 1:
+        # a single step would oversample high-latitude polygons by the
+        # cos ratio (up to 20x work): split the batch into latitude
+        # bands and recurse — lattice sharing still applies within bands
+        order = np.argsort(cos_need)
+        half = P // 2
+        out_p, out_c = [], []
+        for part in (order[:half], order[half:]):
+            p_i, c_i = cover_intersect_batch(
+                [rings_lat[i] for i in part], [rings_lng[i] for i in part], res, pad_cells
+            )
+            out_p.append(np.asarray(part, dtype=np.int64)[p_i])
+            out_c.append(c_i)
+        p_all = np.concatenate(out_p)
+        c_all = np.concatenate(out_c)
+        # consumers split by poly index: restore ascending order
+        o = np.argsort(p_all, kind="stable")
+        return p_all[o], c_all[o]
     s_lng = s / coslat_g
     i0 = np.floor((lat0 - pad) / s).astype(np.int64)
     i1 = np.ceil((lat1 + pad) / s).astype(np.int64)
