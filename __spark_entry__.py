@@ -865,6 +865,18 @@ def _q_knn_ivf(spark, sf_dir):
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
+def _q_kmeans(spark, sf_dir):
+    # §3.3 clustering (cluster-word2vec.ipynb cells 28-49): distributed
+    # Lloyd's — broadcast-centroid assignment + partial-sum updates;
+    # deterministic seeded init, so labels are stable run to run
+    from hex2vec_spark.operators.cluster import kmeans_fit, kmeans_transform
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, k=6, max_iter=8)
+    labeled = kmeans_transform(emb, cents)
+    return labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_knn_ivf_index(spark, sf_dir):
     # IVF index *at rest*: corpus rewritten partitioned by inverted-list
     # id; the probe scans only n_probe/n_lists partitions (file pruning)
@@ -1030,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": _q_image_stats,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_index": _q_knn_ivf_index,
+        "kmeans": _q_kmeans,
         "knn_lsh": _q_knn_lsh,
         "strict_pip": _q_strict_pip,
         "resize_images": _q_resize_images,

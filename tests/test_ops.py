@@ -119,6 +119,42 @@ class TestAdaptiveSalting:
         assert key(a) == key(p)
 
 
+class TestKMeans:
+    def test_converges_and_deterministic(self, spark, emb):
+        import numpy as np
+
+        from hex2vec_spark.operators.cluster import (
+            kmeans_cluster_means, kmeans_fit, kmeans_transform,
+        )
+
+        c1, it1 = kmeans_fit(emb, k=5, max_iter=10)
+        c2, it2 = kmeans_fit(emb, k=5, max_iter=10)
+        assert np.allclose(c1, c2) and it1 == it2  # deterministic
+        labeled = kmeans_transform(emb, c1)
+        counts = {r["cluster"]: r["count"] for r in labeled.groupBy("cluster").count().collect()}
+        assert sum(counts.values()) == emb.count()
+        assert len(counts) >= 2  # actually split the data
+
+        # inertia non-increasing across refits with more iterations
+        def inertia(cents):
+            lab = kmeans_transform(emb, cents).toPandas()
+            mat = np.asarray([np.asarray(x, float) for x in lab["embedding"]])
+            return float(((mat - cents[lab["cluster"].to_numpy()]) ** 2).sum())
+
+        c_short, _ = kmeans_fit(emb, k=5, max_iter=1)
+        assert inertia(c1) <= inertia(c_short) + 1e-6
+
+        means = kmeans_cluster_means(labeled, k=5)
+        assert means["n"].sum() == emb.count()
+        # per-cluster mean matches a brute-force check on one cluster
+        lab_pdf = kmeans_transform(emb, c1).toPandas()
+        c0 = lab_pdf[lab_pdf["cluster"] == int(means["cluster"][0])]
+        if len(c0):
+            brute = np.asarray([np.asarray(x, float) for x in c0["embedding"]]).mean(axis=0)
+            got = np.asarray(means["mean_vec"][0])
+            assert np.allclose(brute, got, atol=1e-9)
+
+
 class TestSaltedJoin:
     def test_inner_equals_plain(self, spark):
         from hex2vec_spark.operators.joins import salted_equi_join
