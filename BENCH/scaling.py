@@ -75,7 +75,7 @@ from functools import reduce
 from hex2vec_spark.plans.session import get_spark
 import bench
 
-input_path = sys.argv[1]; res = int(sys.argv[2]); n_base = int(sys.argv[3])
+input_path = sys.argv[1]; res = int(sys.argv[2])
 spark = get_spark("data-scaling", master="local[32]")
 from hex2vec_spark.operators.spatial import spatial_join
 from hex2vec_spark.operators.agg import explode_caption_tags, salted_count
@@ -100,13 +100,13 @@ spark.stop()
 """
 
 
-def run_data_scale(input_path: str, res: int, n_base: int) -> dict:
+def run_data_scale(input_path: str, res: int) -> dict:
     """Same job at 1x/2x/4x the input rows (cache unioned — no regen):
     evidences that per-row cost is flat as data grows (the second axis of
     the 100x question; the core-count axis is run_level)."""
     runner = DATA_RUNNER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", runner, input_path, str(res), str(n_base)],
+        [sys.executable, "-c", runner, input_path, str(res)],
         capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -131,7 +131,7 @@ def main() -> int:
     results = {c: run_level(c, input_path, res) for c in (2, 8, 32)}
     t2, t8, t32 = results[2], results[8], results[32]
     eff = (t2 / t8) / 4.0
-    dscale = run_data_scale(input_path, res, n_images)
+    dscale = run_data_scale(input_path, res)
     summary = {
         "n_images": n_images, "res": res,
         "local2_sec": round(t2, 2), "local8_sec": round(t8, 2),

@@ -879,21 +879,26 @@ def _q_kmeans(spark, sf_dir):
 
 def _q_knn_ivf_index(spark, sf_dir):
     # IVF index *at rest*: corpus rewritten partitioned by inverted-list
-    # id; the probe scans only n_probe/n_lists partitions (file pruning)
-    import os
+    # id; the probe scans only n_probe/n_lists partitions (file pruning).
+    # Fresh temp index per call: a /tmp cache keyed by the fixture dir
+    # name would silently serve stale vectors after fixtures regenerate.
+    import shutil
+    import tempfile
 
     from hex2vec_spark.operators.knn import build_ivf_index, query_ivf_index
 
     emb = _load(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") != 0)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/hexivf_{tag}"
-    if not os.path.exists(os.path.join(path, "_meta", "ivf.json")):
+    path = tempfile.mkdtemp(prefix="hexivf_")
+    try:
         build_ivf_index(corpus, path, n_lists=8)
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
-    top = query_ivf_index(spark, path, query, k=10, n_probe=4)
-    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+        qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+        query = [float(x) for x in qrow["embedding"]]
+        top = query_ivf_index(spark, path, query, k=10, n_probe=4)
+        pdf = top.select("vec_id", F.round("sim", 4).alias("sim")).toPandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(pdf)
 
 
 def _q_knn_lsh(spark, sf_dir):

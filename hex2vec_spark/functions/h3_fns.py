@@ -103,6 +103,8 @@ def h3_cover_udf(res: int = DEFAULT_RES):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(ring_lat: pd.Series, ring_lng: pd.Series) -> pd.Series:
+        if not len(ring_lat):  # np.split on empty yields ONE empty slice
+            return pd.Series([], dtype=object)
         poly_idx, cells = h3core.cover_intersect_batch(
             ring_lat.to_list(), ring_lng.to_list(), res, pad_cells=1.0
         )

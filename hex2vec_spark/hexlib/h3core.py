@@ -453,7 +453,11 @@ def cells_covering_bbox(
     min_abs = 0.0 if (lat0 <= 0.0 <= lat1) else min(abs(lat0), abs(lat1))
     coslat = max(np.cos(np.radians(min_abs)), 0.05)
     s_lng = s / coslat
-    lngs = np.arange(lng0 - pad, lng1 + pad + s_lng, s_lng)
+    # the lng PAD must also be cos-corrected: pad degrees of longitude is
+    # only pad*cos(lat) cell-widths, which at high latitude stops
+    # reaching boundary cells that intersect via the pad ring
+    pad_lng = pad / coslat
+    lngs = np.arange(lng0 - pad_lng, lng1 + pad_lng + s_lng, s_lng)
     glat, glng = np.meshgrid(lats, lngs, indexing="ij")
     return np.unique(encode(glat.ravel(), glng.ravel(), res))
 
@@ -541,10 +545,11 @@ def cover_intersect_batch(
         o = np.argsort(p_all, kind="stable")
         return p_all[o], c_all[o]
     s_lng = s / coslat_g
+    pad_lng = pad / coslat_g  # cos-corrected, like the step (see scalar path)
     i0 = np.floor((lat0 - pad) / s).astype(np.int64)
     i1 = np.ceil((lat1 + pad) / s).astype(np.int64)
-    j0 = np.floor((lng0 - pad) / s_lng).astype(np.int64)
-    j1 = np.ceil((lng1 + pad) / s_lng).astype(np.int64)
+    j0 = np.floor((lng0 - pad_lng) / s_lng).astype(np.int64)
+    j1 = np.ceil((lng1 + pad_lng) / s_lng).astype(np.int64)
     n_lat = i1 - i0 + 1
     n_lng = j1 - j0 + 1
     k = n_lat * n_lng

@@ -31,7 +31,7 @@ def _assign_udf(cents: np.ndarray):
     return _assign
 
 
-def _cluster_partials(labeled: DataFrame, k: int, dim: int, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+def _cluster_partials(labeled: DataFrame, k: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
     """(counts (k,), sums (k, dim)) of the labeled vectors: per-partition
     accumulators via mapInPandas, combined driver-side (n_partitions * k
     tiny rows cross the wire — the vectors never shuffle)."""
@@ -91,7 +91,7 @@ def kmeans_fit(
     it = 0
     for it in range(1, max_iter + 1):
         labeled = emb.select(_assign_udf(cents)(vc).alias("_c"), vc.alias("_v"))
-        counts, sums = _cluster_partials(labeled, k, dim, vec_col)
+        counts, sums = _cluster_partials(labeled, k, dim)
         new = cents.copy()
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
@@ -123,7 +123,7 @@ def kmeans_cluster_means(
     sel = labeled.select(
         F.col("cluster").alias("_c"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    counts, sums = _cluster_partials(sel, k, dim, vec_col)
+    counts, sums = _cluster_partials(sel, k, dim)
     means = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), 0.0)
     return pd.DataFrame(
         {"cluster": np.arange(k), "n": counts, "mean_vec": [m.tolist() for m in means]}

@@ -94,7 +94,9 @@ def build_dataset(
         else salted_count(tags, keys)
     )
     n_done = sum(
-        1 for v in manifest["buckets"].values() if v.get("fingerprint") == input_fingerprint
+        1
+        for v in manifest["buckets"].values()
+        if v.get("fingerprint") == input_fingerprint and v.get("n_buckets") == n_buckets
     )
     snap = commit_table(
         feats, os.path.join(out_root, "features"), mode="overwrite",

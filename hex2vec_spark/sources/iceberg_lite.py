@@ -86,6 +86,21 @@ def read_snapshot(path: str) -> dict | None:
         return json.load(f)
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet FOOTERS (no data scan, no Spark job) — the
+    commit metadata would otherwise cost a full re-read of the data just
+    written. Local-filesystem walk; on an object store this would be the
+    manifest's per-file counts."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 # ------------------------------------------- snapshot history / time travel
 
 def _snapshots_path(path: str) -> str:
@@ -132,8 +147,7 @@ def commit_table(
         writer = writer.partitionBy(*parts)
     writer.parquet(os.path.join(path, rel_dir))
 
-    spark = df.sparkSession
-    added = spark.read.parquet(os.path.join(path, rel_dir)).count()
+    added = _parquet_row_count(os.path.join(path, rel_dir))
     parent_dirs = log[-1]["data_dirs"] if (log and mode == "append") else []
     snap = {
         "id": snap_id,
@@ -218,10 +232,15 @@ def run_stage(
     batch pipeline; no streaming state — SURVEY.md §2.8).
     """
     manifest = _load_manifest(out_path)
+    # a bucket is reusable only if BOTH the fingerprint and the bucket
+    # modulus match: landed data is a pmod(n_buckets) slice, so the same
+    # fingerprint at a different n_buckets describes different row sets
+    # (skipping would silently lose or duplicate rows)
     done = {
         int(k)
         for k, v in manifest["buckets"].items()
         if v.get("fingerprint") == input_fingerprint
+        and v.get("n_buckets") == n_buckets
     }
     src = source.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
@@ -238,11 +257,17 @@ def run_stage(
         manifest["buckets"][str(b)] = {
             "rows": int(n),
             "fingerprint": input_fingerprint,
+            "n_buckets": n_buckets,
             "seconds": round(time.time() - t0, 3),
         }
         _save_manifest(out_path, manifest)
     manifest["complete"] = len(
-        [1 for v in manifest["buckets"].values() if v.get("fingerprint") == input_fingerprint]
+        [
+            1
+            for v in manifest["buckets"].values()
+            if v.get("fingerprint") == input_fingerprint
+            and v.get("n_buckets") == n_buckets
+        ]
     ) == n_buckets
     _save_manifest(out_path, manifest)
     return manifest
