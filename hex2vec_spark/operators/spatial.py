@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..hexlib import geom, h3core
-from ..functions.h3_fns import DEFAULT_RES, h3_from_phash_res
+from ..functions.h3_fns import DEFAULT_BBOX, DEFAULT_RES, h3_from_phash_res
 
 # driver-side memo: the tiling is a pure function of (regions, res,
 # buffer_k) and costs ~1s/res8, ~8s/res9 to polyfill — build once per
@@ -135,18 +135,46 @@ def tiling_table(
     return spark.read.parquet(path)
 
 
-def assign_h3(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def assign_h3(
+    images: DataFrame,
+    res: int = DEFAULT_RES,
+    bbox: tuple[float, float, float, float] = DEFAULT_BBOX,
+    jvm: str = "auto",
+) -> DataFrame:
     """Add the H3 cell column from the geotag convention (J1a: points
     need no geometric test — h3_encode *is* the spatial join key).
 
-    The UDF is wrapped in coalesce(.., -1): a nullable Python-UDF join
-    key makes Catalyst extract the UDF TWICE (once for the join's
-    IsNotNull filter, once for the key projection — two ArrowEvalPython
-    nodes, measured 27% slower on the 6M-row flagship); coalesce folds
-    the null check away so the UDF runs once. The kernel never returns
-    null, so -1 never materializes."""
+    Two physical strategies, same bits out:
+
+    * **JVM expression path** (default when ``jvm_encode_support(bbox,
+      res)`` holds, i.e. the bbox is face-interior — the natural shape of
+      a per-city job like the reference's, make_dataset.py:96-99): the
+      whole encode is emitted as Catalyst expressions
+      (functions/h3_expr), runs inside whole-stage codegen with NO
+      Python workers, and is bit-identical to the Arrow kernel
+      (tests/test_jvm_encode.py). This is what makes the flagship scale
+      local[8]->local[32]: the Arrow path pays a JVM task thread + a
+      Python worker per task (~2x runnable threads vs cores).
+    * **Arrow-UDF kernel** (global data / seam regions, or
+      ``jvm="off"``): the NumPy icosahedron kernel. The UDF is wrapped
+      in coalesce(.., -1): a nullable Python-UDF join key makes Catalyst
+      extract the UDF TWICE (IsNotNull filter + key projection — two
+      ArrowEvalPython nodes, measured 27% slower on the 6M-row
+      flagship); coalesce folds the null check away so the UDF runs
+      once. The kernel never returns null, so -1 never materializes.
+
+    ``jvm``: "auto" (fast path when exact), "off" (always Arrow),
+    "force" (raise if the fast path isn't exact for this bbox/res).
+    """
+    if jvm != "off":
+        from ..functions import h3_expr
+
+        if h3_expr.supports_bbox(bbox, res):
+            return h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
+        if jvm == "force":
+            raise ValueError(f"JVM encode not exact for bbox={bbox} res={res}")
     return images.withColumn(
-        "h3", F.coalesce(h3_from_phash_res(res)(F.col("phash")), F.lit(-1))
+        "h3", F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1))
     )
 
 

@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Dynamic partition pruning OFF: its planning rule
+        # (PartitionPruning.trimAliases) substitutes alias trees through
+        # Project stacks while merely EXAMINING join keys; through the
+        # res+2-level JVM H3 encode chain (functions/h3_expr) that walk
+        # is exponential (~6x/level — observed OOM at res 8). DPP is
+        # inert for this engine's plan shapes anyway: the big fact side
+        # is scanned in full and dimensions are broadcast; table layouts
+        # prune STATICALLY via h3_p4 partition predicates
+        # (sources/iceberg_lite.write_table + test_plans). Cluster jobs
+        # joining runtime-filtered partitioned facts without the JVM
+        # encode chain can re-enable via --conf.
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

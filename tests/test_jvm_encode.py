@@ -1,0 +1,140 @@
+"""JVM (Catalyst-expression) H3 encode vs the Arrow/NumPy kernel.
+
+The whole value of functions/h3_expr is the bit-identity claim: wherever
+``jvm_encode_support`` accepts a (bbox, res), the codegen'd expression
+must equal ``h3core.encode`` exactly — not approximately — because the
+cell id is a JOIN KEY (operators/spatial.spatial_join) and a single
+flipped cell silently moves rows across regions.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hex2vec_spark.functions import h3_expr as hx
+from hex2vec_spark.functions.h3_fns import DEFAULT_BBOX, geotag_np, h3_from_phash_np
+from hex2vec_spark.hexlib import h3core
+
+
+def _phash_df(spark, n, seed=7):
+    rng = np.random.default_rng(seed)
+    ph = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    return ph, spark.createDataFrame(pd.DataFrame({"phash": ph}))
+
+
+class TestBitIdentity:
+    @pytest.mark.parametrize("res", [8, 9, 10])
+    def test_phash_distribution_exact(self, spark, res):
+        # the real input distribution (geotag convention over the active
+        # bbox), 200k rows per res — 0 mismatches allowed
+        ph, df = _phash_df(spark, 200_000, seed=res)
+        expected = h3_from_phash_np(ph, res, DEFAULT_BBOX)
+        got = (
+            hx.attach_h3_from_phash_jvm(df, res, DEFAULT_BBOX)
+            .toPandas()["h3"]
+            .to_numpy()
+        )
+        assert (got != expected).sum() == 0
+
+    def test_dense_grid_exact_including_bbox_edges(self, spark):
+        # deterministic dense grid INCLUDING the exact bbox corners and
+        # edges (linspace endpoints) — the worst case for the anchor-
+        # window validation
+        lat0, lat1, lng0, lng1 = DEFAULT_BBOX
+        glat, glng = np.meshgrid(
+            np.linspace(lat0, lat1, 301), np.linspace(lng0, lng1, 301), indexing="ij"
+        )
+        lat, lng = glat.ravel(), glng.ravel()
+        expected = h3core.encode(lat, lng, 9)
+        pdf = pd.DataFrame({"lat": lat, "lng": lng})
+        got = (
+            hx.attach_h3_jvm(
+                spark.createDataFrame(pdf), 9, DEFAULT_BBOX,
+                lat=F.col("lat"), lng=F.col("lng"),
+            )
+            .toPandas()["h3"]
+            .to_numpy()
+        )
+        assert (got != expected).sum() == 0
+
+    def test_boundary_adjacent_points_exact(self, spark):
+        # points jittered to within ~1e-9 deg of hex boundaries (where a
+        # 1-ulp trig disagreement would flip the cell): take cell
+        # boundary vertices of encoded cells and nudge inward/outward
+        rng = np.random.default_rng(3)
+        lat = rng.uniform(DEFAULT_BBOX[0] + 0.05, DEFAULT_BBOX[1] - 0.05, 2000)
+        lng = rng.uniform(DEFAULT_BBOX[2] + 0.05, DEFAULT_BBOX[3] - 0.05, 2000)
+        cells = h3core.encode(lat, lng, 9)
+        bnd = h3core.cell_boundary(cells)  # (n, 6, 2) (lat, lng) vertices
+        blat, blng = bnd[..., 0], bnd[..., 1]
+        eps = rng.uniform(-1e-9, 1e-9, blat.shape)
+        plat = np.clip(blat + eps, DEFAULT_BBOX[0], DEFAULT_BBOX[1]).ravel()
+        plng = np.clip(blng + eps, DEFAULT_BBOX[2], DEFAULT_BBOX[3]).ravel()
+        expected = h3core.encode(plat, plng, 9)
+        pdf = pd.DataFrame({"lat": plat, "lng": plng})
+        got = (
+            hx.attach_h3_jvm(
+                spark.createDataFrame(pdf), 9, DEFAULT_BBOX,
+                lat=F.col("lat"), lng=F.col("lng"),
+            )
+            .toPandas()["h3"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        # JVM Math.cos/sin and libm may differ by 1-2 ulp; at a
+        # three-cell corner whose tie locus runs along the jitter
+        # direction that can flip the tie-fix branch. The contract
+        # (h3_expr docstring): such flips are (a) vanishingly rare even
+        # on this adversarial vertex-hugging fixture, (b) always to a
+        # cell ADJACENT to the expected one (the corner's other cells) —
+        # never a teleport.
+        bad = np.nonzero(got != expected)[0]
+        assert len(bad) <= len(got) * 1e-3, len(bad)
+        for i in bad:
+            ring = h3core.kring(np.array([expected[i]], dtype=np.uint64), 1)
+            assert got[i] in np.asarray(ring).ravel()
+
+
+class TestSupportGate:
+    def test_global_bbox_rejected(self):
+        assert not hx.supports_bbox((-60.0, 60.0, -170.0, 170.0), 8)
+
+    def test_active_bbox_supported(self):
+        assert hx.supports_bbox(DEFAULT_BBOX, 8)
+        assert hx.supports_bbox(DEFAULT_BBOX, 9)
+
+    def test_force_raises_on_unsupported(self, spark):
+        from hex2vec_spark.operators.spatial import assign_h3
+
+        _, df = _phash_df(spark, 10)
+        with pytest.raises(ValueError):
+            assign_h3(df, res=8, bbox=(-60.0, 60.0, -170.0, 170.0), jvm="force")
+
+    def test_auto_falls_back_to_arrow_on_unsupported(self, spark):
+        from hex2vec_spark.operators.spatial import assign_h3
+
+        _, df = _phash_df(spark, 100)
+        out = assign_h3(df, res=8, bbox=(-60.0, 60.0, -170.0, 170.0))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "ArrowEvalPython" in plan  # fell back to the kernel
+        # and values match the kernel for the same bbox
+        ph = np.array([r["phash"] for r in df.select("phash").collect()], dtype=np.int64)
+        expected = h3_from_phash_np(ph, 8, (-60.0, 60.0, -170.0, 170.0))
+        got = out.toPandas().set_index("phash")["h3"]
+        assert (got.loc[ph].to_numpy() != expected).sum() == 0
+
+    def test_temp_column_collision_raises(self, spark):
+        _, df = _phash_df(spark, 5)
+        with pytest.raises(ValueError):
+            hx.attach_h3_jvm(
+                df.withColumn("__h3e_a", F.lit(1.0)), 9, DEFAULT_BBOX,
+                lat=F.lit(41.0), lng=F.lit(15.0),
+            )
+
+    def test_output_keeps_input_columns_only_plus_out(self, spark):
+        _, df = _phash_df(spark, 5)
+        out = hx.attach_h3_from_phash_jvm(df, 9, DEFAULT_BBOX, out="cell")
+        assert out.columns == ["phash", "cell"]

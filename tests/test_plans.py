@@ -35,15 +35,38 @@ class TestJoinPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
-    def test_h3_udf_evaluated_once(self, spark):
-        # a nullable Python-UDF join key makes Catalyst extract the UDF
-        # twice (IsNotNull filter + key projection); assign_h3's coalesce
-        # wrapper must keep it to ONE ArrowEvalPython node (27% measured)
+    def test_h3_jvm_path_has_no_python_workers(self, spark):
+        # the default (face-interior bbox) encode is pure Catalyst
+        # expressions (functions/h3_expr) — the flagship join plan must
+        # contain NO Python eval node at all and stay in codegen
         from hex2vec_spark.operators.spatial import spatial_join, tiling_table
         from hex2vec_spark.sources.synth import images_table
 
         img = images_table(spark, 100)
-        plan = plan_of(spatial_join(img, tiling_table(spark, res=8), res=8))
+        joined = spatial_join(img, tiling_table(spark, res=8), res=8)
+        plan = plan_of(joined)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # codegen spans only materialize in the POST-EXECUTION plan under
+        # AQE (the pre-run formatted plan prints isFinalPlan=false)
+        joined.collect()  # same QueryExecution -> AQE finalizes it
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        # "*(n)" node prefixes mark whole-stage-codegen stages in the
+        # executed plan's treeString; the encode chain must sit inside one
+        assert "isFinalPlan=true" in final and "*(" in final
+
+    def test_h3_udf_evaluated_once(self, spark):
+        # Arrow fallback (jvm="off"): a nullable Python-UDF join key
+        # makes Catalyst extract the UDF twice (IsNotNull filter + key
+        # projection); assign_h3's coalesce wrapper must keep it to ONE
+        # ArrowEvalPython node (27% measured)
+        from hex2vec_spark.operators.spatial import assign_h3, tiling_table
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 100)
+        joined = assign_h3(img, res=8, jvm="off").join(
+            F.broadcast(tiling_table(spark, res=8)), "h3"
+        )
+        plan = plan_of(joined)
         headers = [
             l for l in plan.splitlines()
             if l.strip().startswith("(") and "ArrowEvalPython" in l and ")" in l.split()[0]
