@@ -434,32 +434,262 @@ def cells_covering_bbox(
     ring_lat: np.ndarray, ring_lng: np.ndarray, res: int, pad_cells: float = 2.0
 ) -> np.ndarray:
     """Every cell intersecting the polygon bbox padded by ``pad_cells``
-    center-spacings: dense grid sample (>= 1 sample per cell) + encode +
-    dedupe. The grid-native equivalent of the reference's metric-buffered
-    polyfill candidate set (make_dataset.py:61-65 buffers by 2x edge)."""
+    center-spacings — the grid-native equivalent of the reference's
+    metric-buffered polyfill candidate set (make_dataset.py:61-65
+    buffers by 2x edge).
+
+    Enumerated by HOME-FRAME LATTICE WALK (:func:`_lattice_candidates`),
+    not by encode() of sample points: near base-cell seams encode's
+    point's-face authority displaces cell preimages, so a cell can
+    intersect the bbox while NO sample point encodes to it (round-1
+    advisor repro: res 8 near lat=-1.0, lng=167.25 silently dropped cell
+    614716711114899455 from a fixed-phase lattice). A cell's center in
+    its OWN home frame is exactly its lattice point — no warp, no
+    encode — so the walk is complete by construction and cheaper
+    (one integer chain per candidate vs a trig encode per ~8x
+    oversampled grid point)."""
     ring_lat = np.asarray(ring_lat, dtype=np.float64)
     ring_lng = np.asarray(ring_lng, dtype=np.float64)
-    lat0, lat1 = ring_lat.min(), ring_lat.max()
-    lng0, lng1 = ring_lng.min(), ring_lng.max()
-    # sample spacing: fraction of the center spacing (deg at equator),
-    # shrunk by worst-case gnomonic compression (~0.55 at face corners)
-    spacing_deg = np.degrees(EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8)
-    s = 0.35 * spacing_deg
-    pad = (pad_cells + 1.0) * spacing_deg
-    lats = np.arange(lat0 - pad, lat1 + pad + s, s)
-    # a cell's longitude extent is spacing/cos(lat): SMALLEST at the
-    # bbox's minimum |lat|, so the safe (densest-needed) step divides by
-    # the LARGEST cos — cos(min |lat|), 0 if the bbox crosses the equator
-    min_abs = 0.0 if (lat0 <= 0.0 <= lat1) else min(abs(lat0), abs(lat1))
-    coslat = max(np.cos(np.radians(min_abs)), 0.05)
-    s_lng = s / coslat
-    # the lng PAD must also be cos-corrected: pad degrees of longitude is
-    # only pad*cos(lat) cell-widths, which at high latitude stops
-    # reaching boundary cells that intersect via the pad ring
-    pad_lng = pad / coslat
-    lngs = np.arange(lng0 - pad_lng, lng1 + pad_lng + s_lng, s_lng)
-    glat, glng = np.meshgrid(lats, lngs, indexing="ij")
-    return np.unique(encode(glat.ravel(), glng.ravel(), res))
+    _, cells = _lattice_candidates(
+        np.array([ring_lat.min()]), np.array([ring_lat.max()]),
+        np.array([ring_lng.min()]), np.array([ring_lng.max()]),
+        res, pad_cells,
+    )
+    return np.unique(cells)
+
+
+# max half-diagonal (radians) of a bbox the lattice walk accepts; beyond
+# this (~2200 km) the in-reach ball geometry below loses its projection-
+# validity bound. No operational path needs larger covers (the reference
+# polyfills city regions, make_dataset.py:26-58).
+_WALK_MAX_RAD = 0.35
+
+
+def _lattice_candidates(
+    lat0, lat1, lng0, lng1, res: int, pad_cells: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate cells for P lat/lng bboxes, enumerated in HOME-FRAME
+    lattice space. Returns (box_idx int64, cell uint64) pairs covering
+    every existing cell whose footprint intersects box ``i`` padded by
+    ``pad_cells`` center-spacings (a superset; callers refine exactly).
+
+    Completeness argument, per (box, base-cell) pair:
+      1. a cell whose footprint intersects the padded bbox has its
+         center within circumradius+pad of the bbox, and every cell's
+         center lies within STRAY_RAD of its base cell's center
+         (measured 0.224 rad max; h3core.py:99), so the center lies in
+         REGION = bbox_expanded  ∩  ball(bc_center, R_b);
+      2. the cell's center in its OWN home frame is exactly its lattice
+         point (cell id == (bc, digit chain) == home-frame lattice
+         point — definitionally, no warp involved);
+      3. gnomonic projection is a homeomorphism on d > 0 and REGION
+         projects with d >= cos(0.65 + R_b) >= 0.55 (max bc-to-home-face
+         distance measured 0.652 rad), so image(REGION) is enclosed by
+         image(boundary(REGION)); the window below is a bounding box of
+         densely sampled boundary(REGION) images padded by the sampling
+         sagitta — hence contains the lattice point;
+      4. enumerating every integer lattice point in the window and
+         keeping those whose chain lands in this bc's anchor slot yields
+         the cell (each existing cell exactly once per its home bc).
+
+    This replaces encode()-of-sample-points enumeration, whose preimages
+    are displaced near base-cell seams (cells could be silently dropped
+    — round-1 advisor finding, repro pinned in tests/test_properties.py).
+    """
+    lat0 = np.atleast_1d(np.asarray(lat0, dtype=np.float64))
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lng0 = np.atleast_1d(np.asarray(lng0, dtype=np.float64))
+    lng1 = np.atleast_1d(np.asarray(lng1, dtype=np.float64))
+    P = len(lat0)
+    if P == 0 or res > 12:
+        if res > 12:
+            raise ValueError("lattice walk supports res <= 12 (key packing)")
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+
+    spacing_rad = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
+    pad_rad = (pad_cells + 1.0) * spacing_rad
+
+    # --- bbox boundary samples (K per edge) + bbox center/radius
+    K = 48
+    t = np.linspace(0.0, 1.0, K)
+    e_lat = np.empty((P, 4 * K))
+    e_lng = np.empty((P, 4 * K))
+    e_lat[:, 0*K:1*K] = lat0[:, None]
+    e_lng[:, 0*K:1*K] = lng0[:, None] + (lng1 - lng0)[:, None] * t
+    e_lat[:, 1*K:2*K] = lat1[:, None]
+    e_lng[:, 1*K:2*K] = e_lng[:, 0*K:1*K]
+    e_lat[:, 2*K:3*K] = lat0[:, None] + (lat1 - lat0)[:, None] * t
+    e_lng[:, 2*K:3*K] = lng0[:, None]
+    e_lat[:, 3*K:4*K] = e_lat[:, 2*K:3*K]
+    e_lng[:, 3*K:4*K] = lng1[:, None]
+    exyz = ic.geo_to_xyz(e_lat.ravel(), e_lng.ravel()).reshape(P, 4 * K, 3)
+    cxyz = ic.geo_to_xyz(0.5 * (lat0 + lat1), 0.5 * (lng0 + lng1))
+    box_rad = np.arccos(
+        np.clip(np.einsum("pkj,pj->pk", exyz, cxyz), -1.0, 1.0)
+    ).max(axis=1)
+    if float(box_rad.max(initial=0.0)) + pad_rad > _WALK_MAX_RAD:
+        raise ValueError(
+            f"bbox half-diagonal {float(box_rad.max()):.3f} rad exceeds the "
+            f"lattice-walk bound {_WALK_MAX_RAD} (cover of >~2200 km-radius "
+            "polygons is unsupported — split the polygon first)"
+        )
+
+    # --- in-reach (box, base cell) pairs
+    R_b = STRAY_RAD + _CIRC_RAD[res] + pad_rad + 0.02
+    reach = box_rad + pad_rad + _CIRC_RAD[res] + STRAY_RAD + 0.03
+    cosd = cxyz @ ic.BC_CENTER.T  # (P, 122)
+    p_i, bc_i = np.nonzero(cosd >= np.cos(reach)[:, None])
+    if p_i.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    n_pairs = len(p_i)
+    face_i = ic.HOME_FACE[bc_i]
+    bcc = ic.BC_CENTER[bc_i]  # (n_pairs, 3)
+
+    # --- boundary(REGION) samples per pair. Two tiers:
+    #   DIRECT (the practical case, ~all pairs): every bbox boundary
+    #     sample projects validly into the home frame (d >= 0.3) —
+    #     REGION's boundary is covered by the bbox boundary alone, and
+    #     the sagitta pad comes from the tight bbox sample gaps.
+    #   BALL (rare: large bbox whose far side dips below the frame
+    #     horizon): restrict to ball(bc_c, R_b) — cells claimed by bc
+    #     live inside it — by PULLING each bbox sample to distance
+    #     min(dist, R_b) along its geodesic from bc_c (the pulled curve
+    #     traces boundary(bbox ∩ ball) at bbox-sample density) plus a
+    #     clipped M-point ball circle; everything then projects with
+    #     d >= cos(0.652 + R_b) >= 0.55.
+    ksl = np.maximum(
+        np.radians(np.maximum(lat1 - lat0, lng1 - lng0)) / K, spacing_rad
+    )[p_i] + pad_rad
+    es = exyz[p_i]  # (n_pairs, 4K, 3)
+    fc = ic.FACE_CENTER[face_i]  # (n_pairs, 3)
+    d_all = np.einsum("pkj,pj->pk", es, fc)
+    direct = d_all.min(axis=1) >= 0.3
+
+    samples = es.copy()
+    gap_rad = ksl.copy()  # per-pair max sample-gap (radians) for sagitta
+    nd = np.nonzero(~direct)[0]
+    if nd.size:
+        b = bcc[nd][:, None, :]  # (m, 1, 3)
+        s = es[nd]  # (m, 4K, 3)
+        cosd_s = np.clip(np.einsum("mkj,m1j->mk", s, b), -1.0, 1.0)
+        theta = np.arccos(cosd_s)
+        Rb = R_b + ksl[nd][:, None]
+        t = np.minimum(1.0, Rb / np.maximum(theta, 1e-12))
+        sin_t = np.sin(np.maximum(theta, 1e-12))
+        pulled = (
+            np.sin((1.0 - t) * theta)[..., None] * b + np.sin(t * theta)[..., None] * s
+        ) / sin_t[..., None]
+        pulled /= np.linalg.norm(pulled, axis=2, keepdims=True)
+        # clipped ball circle (M points, kept only inside the padded bbox)
+        M = 96
+        th = np.linspace(0.0, 2.0 * np.pi, M, endpoint=False)
+        bc2 = bcc[nd]
+        ax = np.zeros_like(bc2)
+        ax[:, 2] = 1.0
+        degen = np.abs(bc2[:, 2]) > 0.9
+        ax[degen] = [1.0, 0.0, 0.0]
+        u = np.cross(bc2, ax)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        v = np.cross(bc2, u)
+        circ = (
+            np.cos(R_b) * bc2[:, None, :]
+            + np.sin(R_b)
+            * (np.cos(th)[None, :, None] * u[:, None, :] + np.sin(th)[None, :, None] * v[:, None, :])
+        )  # (m, M, 3)
+        c_lat, c_lng = ic.xyz_to_geo(circ.reshape(-1, 3))
+        c_lat = c_lat.reshape(len(nd), M)
+        c_lng = c_lng.reshape(len(nd), M)
+        pad_deg = np.degrees(pad_rad + ksl[nd])
+        coslat_min = np.maximum(
+            np.cos(np.radians(np.maximum(np.abs(lat0), np.abs(lat1))[p_i[nd]] + pad_deg)), 0.05
+        )
+        in_box = (
+            (c_lat >= (lat0[p_i[nd]] - pad_deg)[:, None])
+            & (c_lat <= (lat1[p_i[nd]] + pad_deg)[:, None])
+            & (c_lng >= (lng0[p_i[nd]] - (pad_deg / coslat_min))[:, None])
+            & (c_lng <= (lng1[p_i[nd]] + (pad_deg / coslat_min))[:, None])
+        )
+        # out-of-box circle points collapse to bc_c (inside REGION's hull
+        # whenever the circle matters, so they never widen the window)
+        circ = np.where(in_box[..., None], circ, bc2[:, None, :])
+        pulled = np.concatenate([pulled, circ, bc2[:, None, :]], axis=1)
+        # pad the direct pairs' sample arrays to equal width for one
+        # vectorized projection (repeat last sample)
+        extra = pulled.shape[1] - samples.shape[1]
+        samples = np.concatenate(
+            [samples, np.repeat(samples[:, -1:, :], extra, axis=1)], axis=1
+        )
+        samples[nd] = pulled
+        gap_rad[nd] = np.maximum(ksl[nd], 2.0 * np.pi * float(R_b) / M)
+
+    # --- project into each pair's home frame -> fractional res-level
+    # axial coords; window = min/max + pads
+    S = samples.shape[1]
+    face_b = np.broadcast_to(face_i[:, None], (n_pairs, S))
+    sx, sy = ic.project(face_b.reshape(-1), samples.reshape(-1, 3))
+    s7 = hm.SQRT7 ** res
+    rot = hm.class_rotation(res)
+    if rot != 0.0:
+        cr, sr = np.cos(rot), np.sin(rot)
+        sx, sy = s7 * (cr * sx - sr * sy), s7 * (sr * sx + cr * sy)
+    else:
+        sx, sy = sx * s7, sy * s7
+    fa = (sx + sy / np.sqrt(3.0)).reshape(n_pairs, S)
+    fb = (2.0 * sy / np.sqrt(3.0)).reshape(n_pairs, S)
+    amin, amax = fa.min(axis=1), fa.max(axis=1)
+    bmin, bmax = fb.min(axis=1), fb.max(axis=1)
+    live = np.ones(n_pairs, dtype=bool)
+
+    # pads, in axial units (1 axial unit ~ 1 center spacing): the
+    # geometric pad, the clip slack, and the sampling sagitta (image-arc
+    # deviation between adjacent samples; gnomonic scale <= 1/d^2 with
+    # d >= 0.3 here, bounded by 12/RES0_U u per rad^2)
+    sag_ax = (gap_rad ** 2) * (12.0 / ic.RES0_U) * s7 * 1.16
+    # clip slack only applies where clipping happened (the ball tier);
+    # direct windows carry the full unclipped bbox boundary
+    slack_ax = np.where(direct, 0.0, ksl / spacing_rad)
+    pad_ax = np.ceil(1.16 * (pad_cells + 1.0) + slack_ax + sag_ax + 1.0)
+    i0 = np.floor(amin - pad_ax).astype(np.int64)
+    i1 = np.ceil(amax + pad_ax).astype(np.int64)
+    j0 = np.floor(bmin - pad_ax).astype(np.int64)
+    j1 = np.ceil(bmax + pad_ax).astype(np.int64)
+    i0, i1, j0, j1 = i0[live], i1[live], j0[live], j1[live]
+    p_l, bc_l = p_i[live], bc_i[live]
+    face_l = face_i[live]
+
+    # --- enumerate integer lattice points per pair (flattened)
+    n_a = i1 - i0 + 1
+    n_b = j1 - j0 + 1
+    k = n_a * n_b
+    starts = np.zeros(len(k) + 1, dtype=np.int64)
+    np.cumsum(k, out=starts[1:])
+    total = int(starts[-1])
+    idx = np.arange(total, dtype=np.int64)
+    pair = np.searchsorted(starts, idx, side="right") - 1
+    within = idx - starts[pair]
+    ga = i0[pair] + within // n_b[pair]
+    gb = j0[pair] + within % n_b[pair]
+
+    # dedupe shared (bc, a, b) lattice points across overlapping boxes:
+    # chain each distinct point ONCE (the cross-box work sharing that
+    # made the old global geo-lattice batched path fast)
+    OFF = np.int64(1) << np.int64(26)  # |a|,|b| <= 6*sqrt7^12 < 2^26
+    key = (bc_l[pair].astype(np.int64) * (OFF << 1) + (ga + OFF)) * (OFF << 1) + (gb + OFF)
+    uniq, inv = np.unique(key, return_inverse=True)
+    u_bc = (uniq // ((OFF << 1) * (OFF << 1))).astype(np.int64)
+    u_a = (uniq // (OFF << 1)) % (OFF << 1) - OFF
+    u_b = uniq % (OFF << 1) - OFF
+    a0, b0, digits = hm.chain_up_digits_axial(u_a.copy(), u_b.copy(), res)
+    in_win = (np.abs(a0) <= 2) & (np.abs(b0) <= 2)
+    key0 = np.where(in_win, (a0 + 2) * 5 + (b0 + 2), 0)
+    u_face = ic.HOME_FACE[u_bc]
+    bc_got = ic.ANCHOR_KEY_BC[u_face, key0]
+    valid = in_win & (bc_got == u_bc)
+    ids = np.zeros(len(uniq), dtype=np.uint64)
+    if np.any(valid):
+        ids[valid] = pack(u_bc[valid], digits[valid], res)
+    pt_valid = valid[inv]
+    return p_l[pair[pt_valid]], ids[inv[pt_valid]]
 
 
 def cover_intersect_batch(
@@ -468,10 +698,12 @@ def cover_intersect_batch(
     """Batched 'cells intersecting polygon' for MANY polygons at once:
     returns (poly_idx int64, cell uint64) pairs. Semantically equal to
     per-polygon ``cells_covering_bbox`` + ``polygons_intersect_hexes``
-    (the candidate grid is a superset either way; the exact intersect
-    refine makes the result identical), but one encode call + one
-    pairwise predicate call for the whole batch — per-polygon Python
-    overhead measured ~1.5 ms/poly disappears.
+    (the candidate set is a complete superset either way — same
+    home-frame lattice walk, see :func:`_lattice_candidates` — and the
+    exact intersect refine makes the result identical), but one batched
+    walk + one pairwise predicate call for the whole batch —
+    per-polygon Python overhead measured ~1.5 ms/poly disappears, and
+    overlapping polygons share per-lattice-point chain work.
 
     ``rings_lat``/``rings_lng`` are sequences of per-polygon vertex
     arrays (variable length)."""
@@ -509,66 +741,7 @@ def cover_intersect_batch(
 
     lat0, lat1 = ring_lat.min(axis=1), ring_lat.max(axis=1)
     lng0, lng1 = ring_lng.min(axis=1), ring_lng.max(axis=1)
-    spacing_deg = np.degrees(EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8)
-    s = 0.35 * spacing_deg
-    pad = (pad_cells + 1.0) * spacing_deg
-    # GLOBAL sample lattice (integer multiples of the step, one phase for
-    # the whole batch): overlapping bboxes share lattice points, so each
-    # distinct point is encoded ONCE. encode dominates this kernel; with
-    # clustered objects the encode cost becomes O(covered area), not
-    # O(polygons). Density (0.35 center spacings, compression-adjusted
-    # lng step) matches the scalar path at an arbitrary phase, so the
-    # >=1-sample-per-cell guarantee is unchanged.
-    # one GLOBAL lng step must be safe for every polygon: a cell's lng
-    # extent is smallest at the batch's minimum |lat| (cos largest), so
-    # divide by the largest cos — using max |lat| here undersamples
-    # low-latitude polygons and silently drops their cells
-    min_abs = np.where((lat0 <= 0.0) & (lat1 >= 0.0), 0.0, np.minimum(np.abs(lat0), np.abs(lat1)))
-    cos_need = np.maximum(np.cos(np.radians(min_abs)), 0.05)  # per-poly safe cos
-    coslat_g = float(cos_need.max())
-    if coslat_g / float(cos_need.min()) > 2.0 and P > 1:
-        # a single step would oversample high-latitude polygons by the
-        # cos ratio (up to 20x work): split the batch into latitude
-        # bands and recurse — lattice sharing still applies within bands
-        order = np.argsort(cos_need)
-        half = P // 2
-        out_p, out_c = [], []
-        for part in (order[:half], order[half:]):
-            p_i, c_i = cover_intersect_batch(
-                [rings_lat[i] for i in part], [rings_lng[i] for i in part], res, pad_cells
-            )
-            out_p.append(np.asarray(part, dtype=np.int64)[p_i])
-            out_c.append(c_i)
-        p_all = np.concatenate(out_p)
-        c_all = np.concatenate(out_c)
-        # consumers split by poly index: restore ascending order
-        o = np.argsort(p_all, kind="stable")
-        return p_all[o], c_all[o]
-    s_lng = s / coslat_g
-    pad_lng = pad / coslat_g  # cos-corrected, like the step (see scalar path)
-    i0 = np.floor((lat0 - pad) / s).astype(np.int64)
-    i1 = np.ceil((lat1 + pad) / s).astype(np.int64)
-    j0 = np.floor((lng0 - pad_lng) / s_lng).astype(np.int64)
-    j1 = np.ceil((lng1 + pad_lng) / s_lng).astype(np.int64)
-    n_lat = i1 - i0 + 1
-    n_lng = j1 - j0 + 1
-    k = n_lat * n_lng
-    starts = np.zeros(P + 1, dtype=np.int64)
-    np.cumsum(k, out=starts[1:])
-    total = int(starts[-1])
-
-    idx = np.arange(total, dtype=np.int64)
-    poly = np.searchsorted(starts, idx, side="right") - 1
-    within = idx - starts[poly]
-    gi = i0[poly] + within // n_lng[poly]
-    gj = j0[poly] + within % n_lng[poly]
-    # dedupe lattice points across polygons, encode each point once
-    OFF = np.int64(1) << np.int64(30)
-    key = (gi + OFF) * (OFF << 1) + (gj + OFF)
-    uniq, inv = np.unique(key, return_inverse=True)
-    u_lat = (uniq // (OFF << 1) - OFF) * s
-    u_lng = (uniq % (OFF << 1) - OFF) * s_lng
-    cells = encode(u_lat, u_lng, res)[inv]
+    poly, cells = _lattice_candidates(lat0, lat1, lng0, lng1, res, pad_cells)
 
     # unique (poly, cell) pairs
     order = np.lexsort((cells, poly))

@@ -9,7 +9,7 @@ random points are exercised separately with a tolerance).
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from hex2vec_spark.hexlib import geom, h3core
 from hex2vec_spark.hexlib import image as im
@@ -71,6 +71,17 @@ class TestCoverBatchProperty:
         # batched global-lattice cover must equal the per-polygon scalar
         # path for any polygon anywhere (including a second polygon at a
         # very different latitude in the same batch)
+        self._check_batch_equals_scalar(lat, lng, dlat, dlng)
+
+    # pinned seam-region examples (ADVICE r1: flaky hypothesis failures
+    # were seam samples — make them deterministic). lat=-1.0,lng=167.25
+    # is the reported repro that dropped cell 614716711114899455.
+    def test_batch_cover_equals_scalar_at_seams(self):
+        for (lat, lng) in [(-1.0, 167.25), (26.4, 33.9), (-31.8, -66.0),
+                           (58.3, 10.5), (0.0, -31.0)]:
+            self._check_batch_equals_scalar(lat, lng, 0.03, 0.03)
+
+    def _check_batch_equals_scalar(self, lat, lng, dlat, dlng):
         rings = [
             ([lat, lat, lat + dlat, lat + dlat], [lng, lng + dlng, lng + dlng, lng]),
             ([0.0, 0.0, 0.02, 0.02], [1.0, 1.03, 1.03, 1.0]),
