@@ -30,33 +30,121 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_POLY_P = np.uint64(0x100000001B3)  # FNV prime, reused as polynomial base
+
+
+def _hash_words_np(words: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of an object array of words
+    (round-1 fix: the per-byte Python FNV loop per TOKEN was the dedup
+    signature bottleneck at scale). Strategy: hash each DISTINCT word
+    once (corpus vocabulary << token count), with the per-word hash
+    itself vectorized — one flat byte buffer for the whole vocab, a
+    positional polynomial hash over byte segments (np.add.reduceat), and
+    a splitmix64 finalizer. Deterministic across processes (no Python
+    ``hash``, which is seed-randomized per executor)."""
+    if len(words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    # pd.factorize is hash-based: ~8x faster than sort-based np.unique
+    # on object arrays (measured 0.26s vs 1.99s per 1M tokens)
+    inv, uniq = pd.factorize(words)
+    enc = [w.encode("utf-8") for w in uniq]
+    lens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+    total = int(lens.sum())
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    if total == 0:
+        h = np.full(len(uniq), 0xCBF29CE484222325, dtype=np.uint64)
+    else:
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        # P^pos mod 2^64, precomputed to the longest word
+        ppow = np.empty(int(lens.max()), dtype=np.uint64)
+        ppow[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(len(ppow), _POLY_P, dtype=np.uint64), out=ppow)
+        ppow = np.roll(ppow, 1)
+        ppow[0] = np.uint64(1)
+        contrib = (buf + np.uint64(1)) * ppow[pos]
+        seg = np.zeros(len(uniq), dtype=np.uint64)
+        nz = lens > 0
+        seg[nz] = np.add.reduceat(contrib, starts[nz])
+        # length in the mix separates prefixes ("ab" vs "ab\0"-like)
+        h = seg ^ (lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h[inv]
+
+
+def _batch_word_hashes(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch -> (row_id, word_hash) flat arrays, hashing the
+    batch vocabulary once (see _hash_words_np)."""
+    tokens: list[str] = []
+    row_id: list[int] = []
+    for r, t in enumerate(text):
+        ws = str(t).lower().split()
+        tokens.extend(ws)
+        row_id.extend([r] * len(ws))
+    wh = _hash_words_np(np.array(tokens, dtype=object))
+    return np.asarray(row_id, dtype=np.int64), wh
+
+
 def _shingle_hashes_udf(shingle: int = 3, n_hashes: int = 32):
     """words -> n_hashes MinHash values over word shingles.
 
-    Shingle base hashes use a deterministic FNV-1a (NOT python's ``hash``,
-    which is seed-randomized per process and would differ across
-    executors); per-function values h_i(x) = mix(x ^ seed_i), vectorized.
+    Fully NumPy-vectorized (round-1 advisor fix): word hashes via the
+    batched vocabulary hash, shingle hashes as an order-sensitive
+    polynomial combination of ``shingle`` consecutive word hashes
+    (strided windows), per-function values h_i(x) = mix(x ^ seed_i) and
+    a per-row min via np.minimum.reduceat. Deterministic cross-process.
     """
     seeds = (np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    coef = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9][:shingle]
+        + [0x27D4EB2F165667C5] * max(0, shingle - 3),
+        dtype=np.uint64,
+    )
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            words = str(t).lower().split()
-            if len(words) < shingle:
-                shingles = [" ".join(words)] if words else [""]
-            else:
-                shingles = [" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)]
-            base = np.array([_stable_hash(s) for s in shingles], dtype=np.uint64)
-            vals = base[:, None] ^ seeds[None, :]
-            vals ^= vals >> np.uint64(33)
-            vals *= np.uint64(_MIX)
-            vals ^= vals >> np.uint64(33)
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        n = len(text)
+        row_id, wh = _batch_word_hashes(text)
+        counts = np.bincount(row_id, minlength=n)
+        out = np.empty((n, n_hashes), dtype=np.uint64)
+        out[:] = _mix64(np.uint64(0xCBF29CE484222325) ^ seeds)[None, :]  # empty rows
+        W = len(wh) - shingle + 1
+        if W > 0:
+            # window at position p is a real shingle iff it stays inside
+            # one row: row_id[p] == row_id[p + shingle - 1]
+            valid = row_id[:W] == row_id[shingle - 1 :]
+            if np.any(valid):
+                base = np.zeros(W, dtype=np.uint64)
+                for k in range(shingle):
+                    base += coef[k] * wh[k : W + k]
+                win, own = base[valid], row_id[:W][valid]
+                vals = _mix64(win[:, None] ^ seeds[None, :])  # (W', n_hashes)
+                seg = np.nonzero(np.diff(own, prepend=-1))[0]
+                out[own[seg]] = np.minimum.reduceat(vals, seg, axis=0)
+        # rows shorter than `shingle` get one truncated window (rare)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        for r in np.nonzero((counts > 0) & (counts < shingle))[0]:
+            h = np.uint64(0)
+            for k in range(int(counts[r])):
+                h += coef[k] * wh[starts[r] + k]
+            out[r] = _mix64(h ^ seeds)
+        return pd.Series(out.astype(np.int64).tolist())
 
     return _udf
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche (vectorized)."""
+    v = v ^ (v >> np.uint64(33))
+    v = v * np.uint64(_MIX)
+    v = v ^ (v >> np.uint64(33))
+    return v
 
 
 def minhash_lsh_pairs(
@@ -106,22 +194,28 @@ def minhash_lsh_pairs(
 
 
 def simhash_udf():
-    """64-bit SimHash over word tokens (sign of per-bit vote sums)."""
+    """64-bit SimHash over word tokens (sign of per-bit vote sums).
+
+    NumPy-vectorized (round-1 advisor fix — the per-word Python loop was
+    the bottleneck): batch vocabulary hash, per-bit votes via an
+    unpacked (T, 64) bit matrix summed per row with np.add.reduceat,
+    then sign-packed. Empty rows hash to 0 (acc all zero -> no bits
+    set), matching the loop implementation."""
 
     @F.pandas_udf(LongType())
     def _udf(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for r, t in enumerate(text):
-            acc = np.zeros(64, dtype=np.int64)
-            for w in str(t).lower().split():
-                hv = _stable_hash(w)
-                bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    val |= np.uint64(1) << np.uint64(b)
-            out[r] = np.int64(val.astype(np.int64))
+        n = len(text)
+        out = np.zeros(n, dtype=np.int64)
+        row_id, wh = _batch_word_hashes(text)
+        if len(wh):
+            bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = 2 * bits - 1  # (T, 64)
+            seg = np.nonzero(np.diff(row_id, prepend=-1))[0]
+            acc = np.add.reduceat(votes, seg, axis=0)  # (rows-present, 64)
+            packed = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[row_id[seg]] = packed.astype(np.int64)
         return pd.Series(out)
 
     return _udf
@@ -181,15 +275,36 @@ def ngram_jaccard_pairs(
 
 
 def phash_near_dup(images: DataFrame, max_hamming: int = 6, id_col: str = "image_id") -> DataFrame:
-    """Image near-dup via pHash hamming distance, bucketed by the top
-    16 bits (near-dups share the low-frequency DCT prefix) so the
-    self-join never goes all-pairs."""
-    bucket = F.shiftrightunsigned(F.col("phash"), 48).alias("bucket")
-    sig = images.select(F.col(id_col), F.col("phash"), bucket)
+    """Image near-dup via pHash hamming distance with GUARANTEED recall:
+    pigeonhole multi-band bucketing.
+
+    The 64 hash bits are split into ``max_hamming + 1`` contiguous
+    bands; a pair with <= max_hamming differing bits must agree exactly
+    on at least one band (pigeonhole), so the union of per-band
+    equi-joins contains every qualifying pair — unlike a single-prefix
+    bucket (round-1 design), which silently missed any pair whose
+    differing bits touched the prefix. Still never all-pairs: each join
+    only compares images sharing a full band value; ``distinct`` folds
+    pairs that collide in several bands."""
+    n_bands = max_hamming + 1
+    bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(
+                F.shiftleft(F.col("phash"), bounds[b]), 64 - (bounds[b + 1] - bounds[b])
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    sig = images.select(
+        F.col(id_col), F.col("phash"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(id_col, "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .where(ham <= max_hamming)
         .select(
@@ -197,6 +312,7 @@ def phash_near_dup(images: DataFrame, max_hamming: int = 6, id_col: str = "image
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
+        .distinct()
     )
 
 
