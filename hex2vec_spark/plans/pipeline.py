@@ -78,8 +78,13 @@ def build_dataset(
         )
 
     assign_path = os.path.join(out_root, "assign")
+    # narrow to the columns the assign transform needs BEFORE the stage:
+    # run_stage's single-pass raw-split landing materializes every
+    # column it is given (the old per-bucket re-scan got Catalyst column
+    # pruning for free; the explicit select keeps the decoded-image
+    # bytes out of the 2x-IO path)
     manifest = run_stage(
-        spark, images, assign_path, assign,
+        spark, images.select("image_id", "caption", "phash"), assign_path, assign,
         bucket_col="image_id", n_buckets=n_buckets,
         input_fingerprint=input_fingerprint,
     )

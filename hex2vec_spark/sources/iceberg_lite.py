@@ -33,6 +33,20 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, META_DIR)
 
 
+def _check_snapshot_extra(extra: dict | None, reserved: set) -> None:
+    """Caller-supplied snapshot metadata must not shadow core fields —
+    the extras are spread into the snapshot dict, and a key like
+    'data_dirs' or 'id' would silently corrupt the snapshot log that
+    time travel reads (round-1 advisor finding)."""
+    if extra:
+        clash = reserved & set(extra)
+        if clash:
+            raise ValueError(
+                f"snapshot_extra keys {sorted(clash)} shadow core snapshot "
+                "fields — nest custom metadata under your own key"
+            )
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -133,6 +147,10 @@ def commit_table(
     one; ``mode='overwrite'`` sees only the new one (old data dirs stay
     on disk so prior snapshots remain readable — time travel).
     """
+    _check_snapshot_extra(
+        snapshot_extra,
+        {"id", "parent_id", "ts", "op", "data_dirs", "added_rows", "partition_spec"},
+    )
     log = snapshots(path)
     snap_id = (log[-1]["id"] + 1) if log else 0
     rel_dir = f"data/s{snap_id:05d}"
@@ -220,6 +238,7 @@ def run_stage(
     bucket_col: str = "image_id",
     n_buckets: int = 8,
     input_fingerprint: str = "",
+    concurrency: int = 4,
 ) -> dict:
     """Resumable stage execution with per-bucket lineage.
 
@@ -230,6 +249,20 @@ def run_stage(
     same fingerprint skips completed buckets (kill-and-resume test:
     SURVEY.md §5.5). Mid-job state is *job-level* (the reference is a
     batch pipeline; no streaming state — SURVEY.md §2.8).
+
+    IO shape (round-1 verdict fix): the source is scanned ONCE into raw
+    splits partitioned by ``_bucket`` (``_raw_splits/``, itself a
+    resumable unit in the manifest); each bucket's transform then reads
+    only its own 1/n split. Total input IO is ~2 passes regardless of
+    ``n_buckets`` — the old per-bucket ``pmod(xxhash64(..)) == b``
+    filter re-scanned (and re-ran the source lineage of) the FULL input
+    once per bucket, n_buckets passes with no pushdown possible on a
+    hash. Raw splits are deleted once every bucket commits.
+
+    NARROW THE SOURCE FIRST: the raw-split landing materializes every
+    column of ``source`` — select only what ``transform`` reads (the old
+    re-scan design got Catalyst column pruning implicitly; this one
+    cannot know the transform's needs).
     """
     manifest = _load_manifest(out_path)
     # a bucket is reusable only if BOTH the fingerprint and the bucket
@@ -242,25 +275,71 @@ def run_stage(
         if v.get("fingerprint") == input_fingerprint
         and v.get("n_buckets") == n_buckets
     }
-    src = source.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
-    )
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        part = src.where(F.col("_bucket") == b).drop("_bucket")
-        result = transform(part)
-        bpath = os.path.join(out_path, f"bucket={b}")
-        result.write.mode("overwrite").parquet(bpath)
-        n = spark.read.parquet(bpath).count()
-        manifest["buckets"][str(b)] = {
-            "rows": int(n),
-            "fingerprint": input_fingerprint,
-            "n_buckets": n_buckets,
-            "seconds": round(time.time() - t0, 3),
-        }
-        _save_manifest(out_path, manifest)
+    todo = [b for b in range(n_buckets) if b not in done]
+    raw_dir = os.path.join(out_path, "_raw_splits")
+    if todo:
+        split = manifest.get("raw_splits")
+        reusable = (
+            split is not None
+            and split.get("fingerprint") == input_fingerprint
+            and split.get("n_buckets") == n_buckets
+            and os.path.exists(os.path.join(raw_dir, "_SUCCESS"))
+        )
+        if not reusable:
+            t0 = time.time()
+            (
+                source.withColumn(
+                    "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+                )
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(raw_dir)
+            )
+            manifest["raw_splits"] = {
+                "fingerprint": input_fingerprint,
+                "n_buckets": n_buckets,
+                "seconds": round(time.time() - t0, 3),
+            }
+            _save_manifest(out_path, manifest)
+        # bucket jobs are independent Spark jobs over disjoint splits —
+        # run a few concurrently (the scheduler interleaves their tasks;
+        # a single bucket's ~n_input/n_buckets tasks underfill the
+        # cluster). Each bucket still COMMITS individually the moment it
+        # finishes (manifest writes serialized by a lock), so
+        # kill-and-resume granularity is identical to the sequential
+        # loop: a mid-kill loses only the buckets still in flight.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+
+        def _run_bucket(b: int) -> None:
+            t0 = time.time()
+            bsplit = os.path.join(raw_dir, f"_bucket={b}")
+            if os.path.exists(bsplit):
+                part = spark.read.parquet(bsplit)
+            else:  # empty bucket: partitionBy wrote no dir for it
+                part = source.where(F.lit(False))
+            result = transform(part)
+            bpath = os.path.join(out_path, f"bucket={b}")
+            result.write.mode("overwrite").parquet(bpath)
+            n = _parquet_row_count(bpath)
+            with lock:
+                manifest["buckets"][str(b)] = {
+                    "rows": int(n),
+                    "fingerprint": input_fingerprint,
+                    "n_buckets": n_buckets,
+                    "seconds": round(time.time() - t0, 3),
+                }
+                _save_manifest(out_path, manifest)
+
+        if concurrency > 1 and len(todo) > 1:
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                for f in [ex.submit(_run_bucket, b) for b in todo]:
+                    f.result()  # surface the first failure
+        else:
+            for b in todo:
+                _run_bucket(b)
     manifest["complete"] = len(
         [
             1
@@ -269,6 +348,11 @@ def run_stage(
             and v.get("n_buckets") == n_buckets
         ]
     ) == n_buckets
+    if manifest["complete"] and os.path.exists(raw_dir):
+        import shutil
+
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        manifest.pop("raw_splits", None)
     _save_manifest(out_path, manifest)
     return manifest
 
