@@ -57,6 +57,52 @@ def cosine_topk(
     )
 
 
+def interpolation_topk(
+    emb: DataFrame,
+    vec_a: list[float],
+    vec_b: list[float],
+    m: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-interpolation probe (cluster-word2vec.ipynb cells
+    86-91: np.linspace between two embeddings, kNN at each step).
+
+    ONE scan for all m probes: per row, the m cosine scores are emitted
+    as an exploded (step, sim) array of JVM expressions (the queries are
+    driver-side constants — no join, no Python), then a per-step window
+    top-k. At 10^12 rows this reads the corpus once instead of m times;
+    the shuffle carries only (id, step, sim) rows that survive nothing —
+    the window is the only shuffle, keyed by step with k rows kept per
+    group."""
+    if m < 2:
+        raise ValueError("m >= 2 (need both endpoints)")
+    a = np.asarray(vec_a, dtype=np.float64)
+    b = np.asarray(vec_b, dtype=np.float64)
+    vc = F.col(vec_col).cast("array<double>")
+    nrm = _norm(vc)
+    structs = []
+    for s in range(m):
+        t = s / (m - 1)
+        q = (1.0 - t) * a + t * b
+        qn = float(np.sqrt(np.sum(q**2)))
+        sim = _dot(vc, q.tolist()) / (nrm * F.lit(qn))
+        structs.append(F.struct(F.lit(s).alias("step"), sim.alias("sim")))
+    from pyspark.sql import Window
+
+    exploded = (
+        emb.select(F.col(id_col), F.explode(F.array(*structs)).alias("x"))
+        .select(id_col, F.col("x.step").alias("step"), F.col("x.sim").alias("sim"))
+    )
+    w = Window.partitionBy("step").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query: list[float],
@@ -203,6 +249,15 @@ def query_ivf_index(
     return cosine_topk(back, query, k, id_col, vec_col)
 
 
+# measured global worst-case (distance / lattice-bound) per parent res,
+# with >=10% safety margin; see the derating note inside
+# knn_cell_centroids_pruned. Coarse parents (res <= 4) span base-cell
+# seams where grid distance wildly overestimates geodesic distance.
+_RING_DISTORTION = np.array(
+    [0.15, 0.15, 0.4, 0.18, 0.18, 0.65, 0.6, 0.65, 0.6] + [0.6] * 7
+)
+
+
 def knn_cell_centroids_pruned(
     corpus: DataFrame,
     query_latlng: tuple[float, float],
@@ -252,9 +307,17 @@ def knn_cell_centroids_pruned(
         # worst case; the naive r*spacing over-estimates once r >= 7),
         # minus one parent circumradius each for the query's and the
         # centroid's offset within their parents. spacing = sqrt(3)*edge,
-        # circumradius = edge -> bound = (1.5*(r+1) - 2) * edge. A 0.9
-        # factor absorbs residual lattice distortion (projection warp).
-        bound = (1.5 * (r + 1) - 2.0) * edge_p * 0.9
+        # circumradius = edge -> bound = (1.5*(r+1) - 2) * edge,
+        # DERATED by _RING_DISTORTION[pres]: the lattice argument assumes
+        # grid distance ~ geodesic distance, which gnomonic warp and
+        # base-cell seams break. The derating constants are MEASURED
+        # global worst cases (min over 480 area-uniform samples/pres of
+        # true-min-distance / lattice bound; round-1 advisor finding —
+        # the old single 0.9 factor was unsound: measured minima reach
+        # 0.73 at pres 8 and 0.22 at pres 3-4 across seams), embedded
+        # with >=10% margin and re-asserted by
+        # tests/test_ops.py::test_ring_distortion_constants_hold.
+        bound = (1.5 * (r + 1) - 2.0) * edge_p * _RING_DISTORTION[min(pres, 15)]
         if (len(rows) == k and rows[-1]["dist_m"] <= bound) or r >= max_ring:
             if r >= max_ring and (len(rows) < k or rows[-1]["dist_m"] > bound):
                 return knn_cell_centroids(cells, query_latlng, k, h3_col)  # exact fallback

@@ -1,0 +1,95 @@
+"""Skip-gram embedding trainer (operators/embed): loss must decrease
+monotonically and planted co-occurrence structure must be learned —
+context pairs embed closer than excluded negatives (the property the
+reference's Combined model trains for, src/models/combined.py:30-45).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hex2vec_spark.operators.embed import embeddings_table, skipgram_fit
+
+
+def _two_cliques_df(spark):
+    # two co-occurrence cliques (cells 0-4 and 100-104); negatives always
+    # from the other clique. A good embedding separates the cliques.
+    rows = []
+    a = list(range(5))
+    b = list(range(100, 105))
+    for grp, other in ((a, b), (b, a)):
+        for i in grp:
+            for j in grp:
+                if i != j:
+                    rows.append((i, j, other[:3]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["input_h3", "context_h3", "neg_h3s"])
+    )
+
+
+class TestSkipgram:
+    def test_loss_monotone_and_structure(self, spark):
+        df = _two_cliques_df(spark)
+        vocab, w, losses = skipgram_fit(df, dim=8, n_iter=8, lr=2.0, seed=3)
+        assert len(losses) == 8
+        # monotone decrease (full-batch GD with a sane lr)
+        assert all(losses[i + 1] < losses[i] for i in range(len(losses) - 1)), losses
+        # planted structure: mean in-clique dot > mean cross-clique dot
+        idx = {int(h): i for i, h in enumerate(vocab)}
+        A = w[[idx[i] for i in range(5)]]
+        B = w[[idx[i] for i in range(100, 105)]]
+        in_a = (A @ A.T)[np.triu_indices(5, 1)].mean()
+        in_b = (B @ B.T)[np.triu_indices(5, 1)].mean()
+        cross = (A @ B.T).mean()
+        assert in_a > cross and in_b > cross
+
+    def test_deterministic_given_partitioning(self, spark):
+        df = _two_cliques_df(spark).repartition(4, "input_h3")
+        _, w1, l1 = skipgram_fit(df, dim=4, n_iter=3, lr=1.0, seed=7)
+        _, w2, l2 = skipgram_fit(df, dim=4, n_iter=3, lr=1.0, seed=7)
+        assert l1 == l2
+        assert np.array_equal(w1, w2)
+
+    def test_null_and_empty_negatives_ok(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "input_h3": [1, 2],
+                    "context_h3": [2, 1],
+                    "neg_h3s": [None, []],
+                }
+            )
+        )
+        vocab, w, losses = skipgram_fit(df, dim=4, n_iter=2, lr=0.5, seed=1)
+        assert len(vocab) == 2 and np.isfinite(w).all()
+        assert losses[1] < losses[0]
+
+    def test_embeddings_table_roundtrip(self, spark):
+        df = _two_cliques_df(spark)
+        vocab, w, _ = skipgram_fit(df, dim=4, n_iter=2, lr=1.0, seed=5)
+        tbl = embeddings_table(spark, vocab, w)
+        back = tbl.orderBy("h3").collect()
+        assert [r["h3"] for r in back] == sorted(int(v) for v in vocab)
+        assert len(back[0]["embedding"]) == 4
+
+    def test_end_to_end_over_neighbor_dataset_shape(self, spark):
+        # same schema the pipeline emits (build_neighbor_dataset):
+        # k-ring context pairs over real cells + hash-sampled negatives
+        from hex2vec_spark.operators.neighbors import context_pairs, sample_negatives
+        from hex2vec_spark.operators.spatial import assign_h3
+        from hex2vec_spark.sources.synth import images_table
+
+        corpus = (
+            assign_h3(images_table(spark, 400), res=8).select("h3").distinct()
+        ).localCheckpoint(eager=False)
+        pairs = context_pairs(corpus, k=1, materialize=False)
+        negs = (
+            sample_negatives(corpus, n_per_input=2, k_excl=2, materialize=False)
+            .groupBy("input_h3")
+            .agg(F.sort_array(F.collect_list("neg_h3")).alias("neg_h3s"))
+        )
+        ds = pairs.join(negs, "input_h3", "left")
+        vocab, w, losses = skipgram_fit(ds, dim=4, n_iter=3, lr=1.0, seed=11)
+        assert len(vocab) > 10 and np.isfinite(w).all()
+        assert losses[-1] < losses[0]

@@ -243,6 +243,41 @@ class TestKnnCentroidsPruned:
             assert pruned == exact
 
 
+class TestRingDistortionConstants:
+    def test_ring_distortion_constants_hold(self):
+        # the pruned-kNN early-stop derates its lattice bound by
+        # measured per-res worst cases (_RING_DISTORTION). Re-measure on
+        # a fixed global sample and assert the embedded constants stay
+        # BELOW the observed minima — if the grid/encode changes and
+        # distortion worsens, this fails rather than silently returning
+        # wrong top-k.
+        from hex2vec_spark.hexlib import geom, h3core
+        from hex2vec_spark.operators.knn import _RING_DISTORTION
+
+        rng = np.random.default_rng(5)
+        for pres in (3, 5, 8):
+            edge_p = h3core.edge_length_m(pres)
+            lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 40)))
+            lng = rng.uniform(-180, 180, 40)
+            qpar = h3core.encode(lat, lng, pres)
+            worst = np.inf
+            for i in range(len(lat)):
+                qp = np.array([qpar[i]], dtype=np.uint64)
+                prev = {int(qp[0])}
+                for r in range(1, 4):
+                    cur = set(int(x) for x in h3core.kring(qp, r)[0])
+                    outer = cur - prev
+                    prev = cur
+                    if r < 2 or not outer:
+                        continue
+                    bound = (1.5 * r - 2.0) * edge_p  # parents at dist >= r
+                    cells = np.array(sorted(outer), dtype=np.uint64)
+                    cl, cg = h3core.cell_center(cells)
+                    d = geom.haversine_m(cl, cg, lat[i], lng[i])
+                    worst = min(worst, float(d.min()) / bound)
+            assert _RING_DISTORTION[pres] <= worst, (pres, worst)
+
+
 class TestPlantedDups:
     def test_minhash_finds_planted_near_dup(self, spark):
         from hex2vec_spark.operators.dedup import minhash_lsh_pairs
@@ -259,6 +294,60 @@ class TestPlantedDups:
         pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_phash_near_dup_recall_guarantee(self, spark):
+        # round-1 recall hole: single top-16-bit bucket missed any pair
+        # whose differing bits touched the prefix. The pigeonhole
+        # multi-band design must find pairs wherever the <=max_hamming
+        # flipped bits fall — including all inside the old prefix.
+        from hex2vec_spark.operators.dedup import phash_near_dup
+
+        def i64(v):  # signed-wraparound so bit-63 flips stay in int64
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        base = 0x5A5A_1234_ABCD_9876
+        rows = [
+            ("a0", i64(base)),
+            ("a1", i64(base ^ (1 << 63) ^ (1 << 55))),  # flips inside old prefix
+            ("a2", i64(base ^ (1 << 50) ^ (1 << 3))),    # straddles bands
+            ("a3", i64(base ^ 0b111111)),                # 6 flips, low bits
+            ("b0", i64(~base & 0xFFFFFFFFFFFFFFFF)),     # far away (all bits flip)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"image_id": [r[0] for r in rows],
+                          "phash": np.array([r[1] for r in rows], dtype=np.int64)})
+        )
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in phash_near_dup(df, max_hamming=6).collect()}
+        assert ("a0", "a1") in got and got[("a0", "a1")] == 2
+        assert ("a0", "a2") in got and got[("a0", "a2")] == 2
+        assert ("a0", "a3") in got and got[("a0", "a3")] == 6
+        assert not any("b0" in k for k in got)
+
+    def test_phash_near_dup_exact_vs_bruteforce(self, spark):
+        # banded pairs == brute-force pairs on a random corpus (recall
+        # AND precision; `distinct` must fold multi-band collisions)
+        from hex2vec_spark.operators.dedup import phash_near_dup
+
+        rng = np.random.default_rng(42)
+        base = rng.integers(0, 2**62, size=40, dtype=np.int64)
+        # plant near-dups of half of them with 1..6 random bit flips
+        planted = []
+        for i in range(20):
+            v = int(base[i])
+            for b in rng.choice(63, size=int(rng.integers(1, 7)), replace=False):
+                v ^= 1 << int(b)
+            planted.append(v)
+        ph = np.concatenate([base, np.array(planted, dtype=np.int64)])
+        ids = [f"i{k:03d}" for k in range(len(ph))]
+        df = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": ph}))
+        got = {(r["id_a"], r["id_b"]) for r in phash_near_dup(df, max_hamming=6).collect()}
+        want = set()
+        for i in range(len(ph)):
+            for j in range(i + 1, len(ph)):
+                if bin((int(ph[i]) ^ int(ph[j])) & (2**64 - 1)).count("1") <= 6:
+                    want.add((ids[i], ids[j]))
+        assert got == want and len(want) >= 15
 
     def test_simhash_hamming_close_for_near_dup(self, spark):
         from hex2vec_spark.operators.dedup import simhash_udf
@@ -427,15 +516,76 @@ class TestMultimodal:
             df.collect()
 
     def test_audio_features_shape(self, spark, images):
+        # the fake path (opaque non-WAV payloads): plumbing over image bytes
         from hex2vec_spark.functions.multimodal import audio_features_udf
 
         rows = images.select(
-            "image_id", audio_features_udf(n_mfcc=4)(F.col("bytes")).alias("a")
+            "image_id", audio_features_udf(n_mfcc=4, fake=True)(F.col("bytes")).alias("a")
         ).collect()
         for r in rows:
             assert r["a"]["duration_s"] > 0
             assert 0.0 <= r["a"]["rms"] <= 1.0
             assert len(r["a"]["mfcc"]) == 4
+
+    def test_audio_features_real_wav_path(self, spark):
+        # round 2: REAL decode — stdlib-wave PCM parse + NumPy MFCC. The
+        # WAV fixtures are deterministic sines, so duration and RMS are
+        # checked against closed-form values and MFCCs must separate
+        # clips with different spectra.
+        import pandas as pd
+
+        from hex2vec_spark.functions.multimodal import (
+            _mfcc, _wav_parse, audio_features_udf, synth_wav_bytes,
+        )
+
+        clips = spark.createDataFrame(
+            pd.DataFrame({"clip_id": [0, 1, 2, 16],
+                          "bytes": [synth_wav_bytes(i) for i in (0, 1, 2, 16)]})
+        )
+        rows = {r["clip_id"]: r["a"] for r in clips.select(
+            "clip_id", audio_features_udf(n_mfcc=6, fake=False)(F.col("bytes")).alias("a")
+        ).collect()}
+        for cid, a in rows.items():
+            assert abs(a["duration_s"] - 0.5) < 1e-9
+            # rms of g*sin(f1) + 0.3*sin(f2) ~ sqrt(g^2/2 + 0.09/2)
+            g = 0.3 + 0.4 * ((cid % 7) / 6.0)
+            expect_rms = np.sqrt(g * g / 2.0 + 0.09 / 2.0)
+            assert abs(a["rms"] - expect_rms) < 0.02
+            assert len(a["mfcc"]) == 6 and all(np.isfinite(a["mfcc"]))
+        # different tones -> different cepstra; same tone -> identical
+        assert rows[0]["mfcc"] != rows[1]["mfcc"]
+        # Spark result equals the local kernel exactly (same code path)
+        x, rate = _wav_parse(synth_wav_bytes(2))
+        np.testing.assert_allclose(rows[2]["mfcc"], _mfcc(x, rate, 6), rtol=1e-12)
+
+    def test_wav_parse_formats(self):
+        # 8-bit and stereo WAVs parse too (width/channel handling)
+        import io
+        import wave
+
+        from hex2vec_spark.functions.multimodal import _wav_parse
+
+        t = np.arange(800) / 8000.0
+        x = np.sin(2 * np.pi * 440 * t)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            stereo = np.stack([x, -x], axis=1)
+            w.writeframes(np.round(stereo * 32767).astype("<i2").tobytes())
+        y, rate = _wav_parse(buf.getvalue())
+        assert rate == 8000 and len(y) == 800
+        assert np.abs(y).max() < 1e-4  # L/R cancel in the mono mixdown
+
+        buf8 = io.BytesIO()
+        with wave.open(buf8, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes((np.round(x * 127) + 128).astype("u1").tobytes())
+        y8, _ = _wav_parse(buf8.getvalue())
+        assert abs(float(np.sqrt(np.mean(y8**2))) - np.sqrt(0.5)) < 0.02
 
 
 class TestWindowedStreaming:
