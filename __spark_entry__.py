@@ -24,10 +24,20 @@ ENTRY_RES = 8
 _STOP = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
 
 
+def _harden(spark: SparkSession) -> SparkSession:
+    """Runtime confs the engine needs on sessions it did not build
+    (the driver creates its own): dynamic partition pruning's planning
+    rule walks alias substitutions through the JVM H3 encode chain and
+    explodes exponentially (see plans/session.py for the full note);
+    the engine's layouts prune statically via h3_p4 predicates."""
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    return spark
+
+
 def _images(spark: SparkSession, n: int = QUERY_N_IMAGES) -> DataFrame:
     from hex2vec_spark.sources.synth import images_table_cached
 
-    return images_table_cached(spark, n)
+    return images_table_cached(_harden(spark), n)
 
 
 def _tiling_sdf(spark: SparkSession, res: int = ENTRY_RES) -> DataFrame:
@@ -39,12 +49,15 @@ def _tiling_sdf(spark: SparkSession, res: int = ENTRY_RES) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: scan -> h3 encode (Arrow UDF) -> broadcast tiling join ->
-    caption explode -> salted group-by -> (h3, feature, count, region_id).
-    Exercises S/P/J/A of SURVEY.md §2 in one job (build plan M1)."""
+    """Flagship: scan -> h3 encode (whole-stage-codegen JVM expressions,
+    functions/h3_expr; Arrow-UDF kernel on seam bboxes) -> broadcast
+    tiling join -> caption explode -> salted group-by ->
+    (h3, feature, count, region_id). Exercises S/P/J/A of SURVEY.md §2
+    in one job (build plan M1)."""
     from hex2vec_spark.operators.agg import explode_caption_tags, salted_count
     from hex2vec_spark.operators.spatial import spatial_join
 
+    _harden(spark)
     images = _images(spark, ENTRY_N_IMAGES)
     joined = spatial_join(images, _tiling_sdf(spark), res=ENTRY_RES)
     tags = explode_caption_tags(joined)
@@ -939,16 +952,137 @@ def _q_frame_sample(spark, sf_dir):
 
 
 def _q_audio_features(spark, sf_dir):
-    # multimodal: audio feature extraction (stubbed decode, real plumbing)
-    from hex2vec_spark.functions.multimodal import audio_features_udf
+    # multimodal: REAL audio path (round 2) — stdlib-wave PCM decode +
+    # NumPy MFCC over deterministic synthesized WAV clips
+    import pandas as pd
 
-    img = _images(spark, 300)
-    feats = img.select("image_id", audio_features_udf(n_mfcc=4)(F.col("bytes")).alias("a"))
+    from hex2vec_spark.functions.multimodal import audio_features_udf, synth_wav_bytes
+
+    clips = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": range(200), "bytes": [synth_wav_bytes(i) for i in range(200)]}
+        )
+    )
+    feats = clips.select(
+        "clip_id", audio_features_udf(n_mfcc=4, fake=False)(F.col("bytes")).alias("a")
+    )
     return feats.select(
-        "image_id",
+        "clip_id",
         F.round("a.duration_s", 6).alias("duration_s"),
         F.round("a.rms", 6).alias("rms"),
+        F.round(F.element_at("a.mfcc", 1), 6).alias("mfcc0"),
     )
+
+
+def _doc_token_counts(spark, sf_dir):
+    """Narrow (doc_id, token, cnt) counts — shared input of the
+    normalization queries; mirrors the oracle's UNNEST(string_split)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .withColumn("token", F.trim("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_tfidf(spark, sf_dir):
+    # pre-clustering normalization (reference clustering.py:20-26,
+    # sklearn TfidfTransformer semantics: smooth idf + L2 row norm)
+    from hex2vec_spark.operators.prep import tfidf
+
+    out = tfidf(_doc_token_counts(spark, sf_dir), key_col="doc_id",
+                feature_col="token", value_col="cnt")
+    return out.select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+
+
+def _q_standardize(spark, sf_dir):
+    # reference clustering.py:27-35 StandardScaler (population std,
+    # zero-variance -> divide by 1) over a narrow feature table
+    from hex2vec_spark.operators.prep import standardize
+
+    s = _load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("feature"), F.col("s_acctbal").alias("cnt")
+    )
+    out = standardize(s)
+    return out.select("s_suppkey", "feature", F.round("z", 6).alias("z"))
+
+
+def _q_minmax_scale(spark, sf_dir):
+    # reference clustering.py:27-35 MinMaxScaler over a narrow table
+    from hex2vec_spark.operators.prep import minmax_scale
+
+    c = _load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("feature"), F.col("c_acctbal").alias("cnt")
+    )
+    out = minmax_scale(c)
+    return out.select("c_custkey", "feature", F.round("scaled", 6).alias("scaled"))
+
+
+def _q_interp_topk(spark, sf_dir):
+    # embedding interpolation probe (cluster-word2vec.ipynb cells 86-91:
+    # np.linspace between two embeddings, kNN per step) — ONE corpus scan
+    from hex2vec_spark.operators.knn import interpolation_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: r["embedding"] for r in
+            emb.where(F.col("vec_id").isin(1, 2)).select("vec_id", "embedding").collect()}
+    a = [float(x) for x in rows[1]]
+    b = [float(x) for x in rows[2]]
+    top = interpolation_topk(emb.where(~F.col("vec_id").isin(1, 2)), a, b, m=5, k=5)
+    return top.select("step", "vec_id", F.round("sim", 4).alias("sim"))
+
+
+# deterministic SQL-expressible phash synthesis over orders: consecutive
+# (even, odd) keys share a base pattern and differ in <=2 planted bits,
+# so both engines compute identical phashes AND identical near-dup pairs.
+# Integer division is explicit (`div`/`//`) — a double-divide + cast
+# would TRUNCATE in Spark but ROUND in DuckDB.
+_PHASH_SYNTH_SPARK = "((o_orderkey div 2) * 2654435761)"
+
+
+def _q_phash_band_pairs(spark, sf_dir):
+    # pHash near-dup with the pigeonhole multi-band guarantee, DuckDB-
+    # oracled end to end (the sibling `phash_near_dup` runs on the real
+    # synthetic image table, rows-only)
+    from hex2vec_spark.operators.dedup import phash_near_dup
+
+    o = _load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 < 2)
+    img = o.select(
+        F.col("o_orderkey").alias("oid"),
+        F.expr(
+            f"CASE WHEN o_orderkey % 2 = 0 THEN {_PHASH_SYNTH_SPARK} "
+            f"ELSE ({_PHASH_SYNTH_SPARK} "
+            f"      ^ shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 60 AS INT)) "
+            f"      ^ shiftleft(CAST(1 AS BIGINT), CAST((o_orderkey * 7) % 60 AS INT))) END"
+        ).alias("phash"),
+    )
+    pairs = phash_near_dup(img, max_hamming=6, id_col="oid")
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def _q_skipgram_embed(spark, sf_dir):
+    # the "2vec" trainer (reference combined.py:1-74) over the engine's
+    # own neighbor dataset; rows-only (iterative, not SQL-expressible) —
+    # structure/loss properties are pinned in tests/test_embed.py
+    from hex2vec_spark.operators.embed import embeddings_table, skipgram_fit
+    from hex2vec_spark.operators.neighbors import context_pairs, sample_negatives
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = (
+        assign_h3(_images(spark, 1000), res=ENTRY_RES).select("h3").distinct()
+    ).localCheckpoint(eager=False)
+    pairs = context_pairs(corpus, k=1, materialize=False)
+    negs = (
+        sample_negatives(corpus, n_per_input=2, k_excl=2, materialize=False)
+        .groupBy("input_h3")
+        .agg(F.sort_array(F.collect_list("neg_h3")).alias("neg_h3s"))
+    )
+    ds = pairs.join(negs, "input_h3", "left")
+    vocab, w, _losses = skipgram_fit(ds, dim=4, n_iter=2, lr=1.0, seed=11)
+    out = embeddings_table(spark, vocab, w)
+    return out.select("h3", F.size("embedding").alias("dim"))
 
 
 def _lang_id_ngram_oracle() -> str:
@@ -972,7 +1106,19 @@ def _lang_id_ngram_oracle() -> str:
     """
 
 
+def _hardened(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_harden(spark), sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _hardened(v) for k, v in _registry().items()}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "explode_trim": _q_explode_trim,
@@ -1028,6 +1174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
+        "tfidf": _q_tfidf,
+        "standardize": _q_standardize,
+        "minmax_scale": _q_minmax_scale,
+        "interp_topk": _q_interp_topk,
+        "phash_band_pairs": _q_phash_band_pairs,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
@@ -1053,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": _q_resize_images,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
+        "skipgram_embed": _q_skipgram_embed,
     }
 
 
@@ -1426,5 +1578,81 @@ def oracle_sql() -> dict[str, str]:
                            CAST(embedding AS DOUBLE[]), (SELECT v FROM q)) AS raw_sim
                 FROM embeddings WHERE vec_id NOT IN (1, 2)
             ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+        """,
+        "tfidf": """
+            WITH cnt AS (
+                SELECT doc_id, token, COUNT(*) AS cnt FROM (
+                    SELECT doc_id, TRIM(t.token) AS token
+                    FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+                ) WHERE token <> '' GROUP BY doc_id, token
+            ), dfreq AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS dfr FROM cnt GROUP BY token
+            ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM cnt),
+            raw AS (
+                SELECT doc_id, cnt.token,
+                       cnt * (LN((1.0 + n) / (1.0 + dfr)) + 1.0) AS tf
+                FROM cnt JOIN dfreq ON cnt.token = dfreq.token CROSS JOIN nd
+            )
+            SELECT doc_id, token,
+                   ROUND(tf / SQRT(SUM(tf * tf) OVER (PARTITION BY doc_id)), 6) AS tfidf
+            FROM raw
+        """,
+        "standardize": """
+            SELECT s_suppkey, feature, ROUND(z, 6) AS z FROM (
+                SELECT s_suppkey, s_nationkey AS feature,
+                       (s_acctbal - AVG(s_acctbal) OVER w) /
+                       (CASE WHEN STDDEV_POP(s_acctbal) OVER w > 0
+                             THEN STDDEV_POP(s_acctbal) OVER w ELSE 1.0 END) AS z
+                FROM supplier
+                WINDOW w AS (PARTITION BY s_nationkey)
+            )
+        """,
+        "minmax_scale": """
+            SELECT c_custkey, feature, ROUND(scaled, 6) AS scaled FROM (
+                SELECT c_custkey, c_nationkey AS feature,
+                       (c_acctbal - MIN(c_acctbal) OVER w) /
+                       (CASE WHEN MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w > 0
+                             THEN MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w
+                             ELSE 1.0 END) AS scaled
+                FROM customer
+                WINDOW w AS (PARTITION BY c_nationkey)
+            )
+        """,
+        "interp_topk": """
+            WITH ab AS (
+                SELECT a.v AS va, b.v AS vb
+                FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1) a,
+                     (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2) b
+            ), q AS (
+                SELECT s.step,
+                       list_transform(range(1, len(va) + 1),
+                                      i -> (1.0 - s.step / 4.0) * va[i] + (s.step / 4.0) * vb[i]) AS v
+                FROM ab, (VALUES (0), (1), (2), (3), (4)) AS s(step)
+            )
+            SELECT step, vec_id, ROUND(raw_sim, 4) AS sim FROM (
+                SELECT q.step, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) AS raw_sim,
+                       ROW_NUMBER() OVER (PARTITION BY q.step
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                                   e.vec_id) AS rk
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id NOT IN (1, 2)
+            ) WHERE rk <= 5
+        """,
+        "phash_band_pairs": """
+            WITH img AS (
+                SELECT o_orderkey AS oid,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN (o_orderkey // 2) * 2654435761
+                            ELSE xor(xor((o_orderkey // 2) * 2654435761,
+                                         (CAST(1 AS BIGINT) << (o_orderkey % 60))),
+                                     (CAST(1 AS BIGINT) << ((o_orderkey * 7) % 60)))
+                       END AS phash
+                FROM orders WHERE o_orderkey % 8 < 2
+            )
+            SELECT a.oid AS id_a, b.oid AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM img a JOIN img b ON a.oid < b.oid
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
         """,
     }
