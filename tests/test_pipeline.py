@@ -320,6 +320,45 @@ class TestViz:
         strs = h3core.h3_to_string(sdf["h3"].to_numpy().astype(np.int64).view(np.uint64))
         assert (sdf["h3_str"].to_numpy() == strs).all()
 
+    def test_kepler_config_structure_and_bundle(self, tmp_path):
+        # the config shape the reference saves/reloads around every
+        # cluster map (visualization/config.py:8-19; artifact example
+        # config/tfidf_kmeans_5.json): one hexagonId layer keyed on the
+        # h3 column, quantize color scale, mapState center/zoom
+        import json
+
+        from hex2vec_spark.functions.viz import (
+            kepler_bundle, kepler_hex_config, load_config, save_config,
+        )
+
+        cfg = kepler_hex_config(color_field="cluster", n_classes=5,
+                                center=(51.11, 17.02), zoom=9.9)
+        assert cfg["version"] == "v1"
+        assert set(cfg["config"]) == {"visState", "mapState", "mapStyle"}
+        lay = cfg["config"]["visState"]["layers"][0]
+        assert lay["type"] == "hexagonId"
+        assert lay["config"]["columns"] == {"hex_id": "h3"}
+        assert lay["visualChannels"]["colorField"]["name"] == "cluster"
+        assert lay["visualChannels"]["colorScale"] == "quantize"
+        assert len(lay["config"]["visConfig"]["colorRange"]["colors"]) == 5
+        assert cfg["config"]["mapState"]["latitude"] == 51.11
+        # save/load round-trip (reference config.py surface)
+        p = str(tmp_path / "clusters.json")
+        save_config(cfg, p)
+        assert load_config(p) == cfg
+        assert load_config(str(tmp_path / "missing.json")) is None
+        # bundle: kepler.gl-loadable {datasets, config} document
+        pdf = pd.DataFrame({"h3": [614716711114899455], "label": [2]})
+        b = json.loads(kepler_bundle(pdf, data_id="clusters"))
+        assert set(b) == {"datasets", "config"}
+        d = b["datasets"][0]
+        assert d["info"]["id"] == "clusters"
+        assert [f["name"] for f in d["data"]["fields"]] == ["h3", "label"]
+        assert d["data"]["rows"] == [[614716711114899455, 2]]
+        # auto-centered on the cells
+        ms = b["config"]["config"]["mapState"]
+        assert abs(ms["latitude"] - (-0.979)) < 0.1
+
 
 class TestStaleBuckets:
     def test_read_stage_excludes_stale_buckets(self, spark, tmp_path):
