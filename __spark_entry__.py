@@ -1062,6 +1062,47 @@ def _q_phash_band_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def _q_agglomerative(spark, sf_dir):
+    # reference clustering parity: Ward agglomerative over embeddings
+    # (21 of the reference's saved map configs are agglomerative_*);
+    # rows-only — hierarchical linkage is not SQL-expressible. Planted-
+    # structure and monotonicity pinned in tests/test_embed.py.
+    from hex2vec_spark.operators.cluster import agglomerative_fit
+
+    out, _link = agglomerative_fit(_load(spark, sf_dir, "embeddings"), n_clusters=6)
+    return spark.createDataFrame(out)
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the events table: Spark's built-in
+    # session_window (also the streaming-stateful variant, §2.8); the
+    # oracle derives identical sessions via lag/cumsum. Boundary pinned
+    # by test: session_window MERGES an event exactly `gap` after the
+    # previous one (closed interval), so the oracle breaks only at
+    # diff > gap.
+    from hex2vec_spark.operators.sessions import sessionize
+
+    return sessionize(_load(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def _q_dedup_components(spark, sf_dir):
+    # near-dup pairs -> dedup GROUPS: connected components (alternating
+    # large-star/small-star) over deterministic chain edges; the DuckDB
+    # oracle computes the same components via a recursive-CTE transitive
+    # closure + MIN. Chains span several hops, so this exercises real
+    # multi-round convergence, not just pair-folding.
+    from hex2vec_spark.operators.components import connected_components
+
+    o = _load(spark, sf_dir, "orders").select("o_orderkey")
+    a, b = o.alias("a"), o.alias("b")
+    edges = (
+        a.join(b, F.col("b.o_orderkey") == F.col("a.o_orderkey") + 32)
+        .where(F.expr("(a.o_orderkey div 32) % 4 < 3"))
+        .select(F.col("a.o_orderkey").alias("id_a"), F.col("b.o_orderkey").alias("id_b"))
+    )
+    return connected_components(edges)
+
+
 def _q_skipgram_embed(spark, sf_dir):
     # the "2vec" trainer (reference combined.py:1-74) over the engine's
     # own neighbor dataset; rows-only (iterative, not SQL-expressible) —
@@ -1179,6 +1220,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": _q_minmax_scale,
         "interp_topk": _q_interp_topk,
         "phash_band_pairs": _q_phash_band_pairs,
+        "dedup_components": _q_dedup_components,
+        "sessionize": _q_sessionize,
+        "agglomerative": _q_agglomerative,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
@@ -1638,6 +1682,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
                 WHERE e.vec_id NOT IN (1, 2)
             ) WHERE rk <= 5
+        """,
+        "sessionize": """
+            WITH t AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "dedup_components": """
+            WITH RECURSIVE e AS (
+                SELECT a.o_orderkey AS u, b.o_orderkey AS v
+                FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 32
+                WHERE (a.o_orderkey // 32) % 4 < 3
+            ), und AS (
+                SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM und
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r
+            )
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id
         """,
         "phash_band_pairs": """
             WITH img AS (

@@ -128,3 +128,109 @@ def kmeans_cluster_means(
     return pd.DataFrame(
         {"cluster": np.arange(k), "n": counts, "mean_vec": [m.tolist() for m in means]}
     )
+
+
+# ------------------------------------------------- agglomerative (Ward)
+
+def ward_linkage(X: np.ndarray) -> np.ndarray:
+    """Ward hierarchical linkage, SciPy-format matrix (n-1, 4): merged
+    cluster indices (originals 0..n-1, merges n..2n-2), merge distance,
+    member count.
+
+    The reference clusters embeddings with sklearn AgglomerativeClustering
+    and plots its dendrogram (visualize.py:48-64; 21 of the saved map
+    configs are agglomerative_*); neither sklearn nor scipy ship here, so
+    this is the Lance-Williams update on squared Euclidean distances
+    (d2(k, i+j) = ((ni+nk) d2(ki) + (nj+nk) d2(kj) - nk d2(ij)) / (ni+nj+nk)),
+    reported as sqrt — Ward's classic formulation. Driver-side O(n^2)
+    memory, same operating point as the reference (it collects the
+    cell-embedding matrix to fit); the engine feeds it vocabulary-sized
+    inputs (distinct cells), not fact rows.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    if n < 2:
+        return np.zeros((0, 4))
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(sq, np.inf)
+    size = np.ones(n)
+    active = np.ones(n, dtype=bool)
+    # cluster slot i holds the cluster most recently merged INTO slot i;
+    # labels[] maps slots to scipy cluster ids
+    labels = np.arange(n)
+    out = np.zeros((n - 1, 4))
+    for step in range(n - 1):
+        # argmin over active pairs
+        masked = np.where(active[:, None] & active[None, :], sq, np.inf)
+        flat = np.argmin(masked)
+        i, j = divmod(int(flat), n)
+        if i > j:
+            i, j = j, i
+        d2 = masked[i, j]
+        out[step] = (labels[i], labels[j], np.sqrt(d2), size[i] + size[j])
+        # Lance-Williams update into slot i
+        ni, nj, nk = size[i], size[j], size
+        upd = ((ni + nk) * sq[i] + (nj + nk) * sq[j] - nk * d2) / (ni + nj + nk)
+        sq[i] = upd
+        sq[:, i] = upd
+        sq[i, i] = np.inf
+        active[j] = False
+        size[i] = ni + nj
+        labels[i] = n + step
+    return out
+
+
+def linkage_labels(link: np.ndarray, n: int, n_clusters: int) -> np.ndarray:
+    """Cut a linkage matrix into ``n_clusters`` flat labels (0-based,
+    relabeled by first occurrence — deterministic)."""
+    import collections
+
+    parent = np.arange(2 * n - 1)
+    stop = (n - 1) - max(n_clusters - 1, 0)  # apply the first n-k merges
+    for step in range(stop):
+        a, b = int(link[step, 0]), int(link[step, 1])
+        parent[a] = n + step
+        parent[b] = n + step
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    roots = [find(i) for i in range(n)]
+    remap: dict[int, int] = collections.OrderedDict()
+    for r in roots:
+        if r not in remap:
+            remap[r] = len(remap)
+    return np.array([remap[r] for r in roots], dtype=np.int64)
+
+
+def agglomerative_fit(
+    emb: DataFrame,
+    n_clusters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 20_000,
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Agglomerative (Ward) clustering of an embedding table: collects
+    the (id, vector) matrix driver-side (hard-capped at ``max_rows`` —
+    O(n^2) distance state; raise the cap consciously), links, cuts.
+    Returns (pandas (id, cluster), linkage matrix for dendrograms —
+    the visualize_dendrogram surface)."""
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"agglomerative_fit collects the matrix driver-side; input exceeds "
+            f"max_rows={max_rows} (use kmeans_fit for larger inputs)"
+        )
+    ids = [r[id_col] for r in rows]
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    link = ward_linkage(X)
+    lab = linkage_labels(link, len(X), n_clusters)
+    return pd.DataFrame({id_col: ids, "cluster": lab}), link

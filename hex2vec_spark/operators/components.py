@@ -1,0 +1,141 @@
+"""Connected components over near-dup pair lists — dedup GROUPS.
+
+The dedup family (operators/dedup) emits candidate PAIRS; a training
+pipeline needs GROUPS ("these 17 documents are all the same article")
+so it can keep one canonical row per group. Pairs -> groups is
+connected components on the pair graph.
+
+Spark-first shape: the alternating LARGE-STAR / SMALL-STAR algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond" — the
+published shuffle-bounded method): each round is one groupBy + one
+join over the edge list, no driver-side graph, edges monotonically
+flatten toward a star per component, converging in O(log^2 n) rounds
+even for adversarial chains (plain min-label propagation needs
+diameter rounds). Per round the edge list is localCheckpoint'd —
+iterative lineage would otherwise grow unboundedly — and convergence
+is detected by an order-insensitive edge-set hash (one tiny agg row
+per round, no driver collect of edges).
+
+At 100 TB scale: the edge list is the only shuffled state, bounded by
+the candidate-pair output of the bucketed dedup joins (never all-pairs
+by construction); each round's shuffle is O(|E|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    return (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_hash(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive over the DISTINCT edge set and immune
+    # to the ANSI-mode long-overflow a sum of hashes hits
+    row = edges.select(
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (int(row["h"]), int(row["n"]))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component is
+    the MIN id of the connected group (deterministic canonical root).
+
+    Raises after ``max_iter`` rounds without convergence (log^2-bounded
+    in practice; 25 covers any realistic component structure)."""
+    edges = _canonical(pairs, id_a, id_b)
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = edges.localCheckpoint(eager=False)
+
+    def _undirected(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+
+    def _dedup(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .where(F.col("u") < F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = _undirected(e)
+        mins = (
+            nbrs.groupBy("x").agg(F.min("y").alias("_my"))
+            .select("x", F.least("_my", F.col("x")).alias("m"))
+        )
+        wm = nbrs.join(mins, "x")
+        out = wm.where(F.col("y") > F.col("x")).select(
+            F.col("y").alias("u"), F.col("m").alias("v")
+        ).unionByName(mins.select(F.col("x").alias("u"), F.col("m").alias("v")))
+        return _dedup(out)
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        small_n = _undirected(e).where(F.col("y") < F.col("x"))
+        mins = (
+            small_n.groupBy("x").agg(F.min("y").alias("_my"))
+            .select("x", F.col("_my").alias("m"))
+        )
+        wm = small_n.join(mins, "x")
+        out = wm.select(F.col("y").alias("u"), F.col("m").alias("v")).unionByName(
+            mins.select(F.col("x").alias("u"), F.col("m").alias("v"))
+        )
+        return _dedup(out)
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        h = _edge_hash(edges)
+        if h == prev:
+            break
+        prev = h
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # star edges: v -> root u; roots (and isolated-after-folding nodes)
+    # map to themselves
+    member = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    roots = nodes.join(member, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return member.unionByName(roots)
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Dedup application: keep ONE row per connected near-dup group (the
+    min id — same deterministic winner rule as exact_dedup) plus every
+    row that appears in no pair. One broadcast-size join against the
+    non-canonical member list when components are few; falls back to a
+    shuffle join otherwise (Spark decides by stats)."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

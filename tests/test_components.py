@@ -1,0 +1,80 @@
+"""Connected components over near-dup pairs (operators/components):
+exact agreement with a union-find oracle on random graphs, chain
+convergence (the adversarial case for plain label propagation), and the
+keep-one-per-group dedup application.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hex2vec_spark.operators.components import connected_components, keep_canonical
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min of component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        root = min(members)
+        for m in members:
+            out[m] = root
+    return out
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    oracle = _union_find(edges, nodes)
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == oracle
+
+
+class TestConnectedComponents:
+    def test_random_graphs_match_union_find(self, spark):
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            n = 120
+            m = int(rng.integers(40, 140))
+            edges = [
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, size=(m, 2))
+                if a != b
+            ]
+            _check(spark, edges)
+
+    def test_long_chain_converges_fast(self, spark):
+        # a 200-node path: plain min-label propagation needs ~200 rounds;
+        # the star algorithm must finish within the max_iter bound
+        edges = [(i, i + 1) for i in range(200)]
+        _check(spark, edges)
+
+    def test_duplicate_and_reversed_pairs(self, spark):
+        edges = [(1, 2), (2, 1), (2, 3), (1, 2), (7, 9)]
+        _check(spark, edges)
+
+    def test_keep_canonical(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 9], "val": list("abcdef")})
+        )
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 4], "id_b": [2, 3, 5]})
+        )
+        kept = sorted(r["doc_id"] for r in keep_canonical(df, pairs, "doc_id").collect())
+        # groups {1,2,3} -> keep 1; {4,5} -> keep 4; 9 untouched
+        assert kept == [1, 4, 9]

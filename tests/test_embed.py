@@ -93,3 +93,42 @@ class TestSkipgram:
         vocab, w, losses = skipgram_fit(ds, dim=4, n_iter=3, lr=1.0, seed=11)
         assert len(vocab) > 10 and np.isfinite(w).all()
         assert losses[-1] < losses[0]
+
+
+class TestAgglomerative:
+    def test_planted_clusters_recovered(self, spark):
+        from hex2vec_spark.operators.cluster import agglomerative_fit
+
+        rng = np.random.default_rng(4)
+        centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        X = np.concatenate([c + 0.3 * rng.standard_normal((12, 2)) for c in centers])
+        pdf = pd.DataFrame({"vec_id": range(36), "embedding": [r.tolist() for r in X]})
+        out, link = agglomerative_fit(
+            spark.createDataFrame(pdf), n_clusters=3, max_rows=100
+        )
+        lab = out.sort_values("vec_id")["cluster"].to_numpy()
+        # every planted group maps to exactly one label
+        for g in range(3):
+            assert len(set(lab[g * 12 : (g + 1) * 12])) == 1
+        assert len(set(lab)) == 3
+        # linkage shape + Ward monotonicity (merge heights non-decreasing)
+        assert link.shape == (35, 4)
+        assert np.all(np.diff(link[:, 2]) >= -1e-12)
+        assert link[-1, 3] == 36
+
+    def test_linkage_label_cuts(self):
+        from hex2vec_spark.operators.cluster import linkage_labels, ward_linkage
+
+        X = np.array([[0.0], [0.1], [5.0], [5.1], [9.0]])
+        link = ward_linkage(X)
+        assert linkage_labels(link, 5, 1).max() == 0
+        assert sorted(set(linkage_labels(link, 5, 5))) == [0, 1, 2, 3, 4]
+        lab3 = linkage_labels(link, 5, 3)
+        assert lab3[0] == lab3[1] and lab3[2] == lab3[3] and lab3[4] not in (lab3[0], lab3[2])
+
+    def test_max_rows_guard(self, spark):
+        from hex2vec_spark.operators.cluster import agglomerative_fit
+
+        pdf = pd.DataFrame({"vec_id": range(6), "embedding": [[float(i)] for i in range(6)]})
+        with pytest.raises(ValueError):
+            agglomerative_fit(spark.createDataFrame(pdf), n_clusters=2, max_rows=5)

@@ -588,6 +588,62 @@ class TestMultimodal:
         assert abs(float(np.sqrt(np.mean(y8**2))) - np.sqrt(0.5)) < 0.02
 
 
+class TestSessionize:
+    def test_streaming_sessions_match_batch_closed_set(self, spark, tmp_path):
+        # append-mode streaming sessionization emits exactly the sessions
+        # the final watermark closed, and each matches the batch result
+        import shutil
+
+        from hex2vec_spark.operators.sessions import sessionize, streaming_sessionize
+
+        src = str(tmp_path / "ev_in")
+        (tmp_path / "ev_in").mkdir()
+        shutil.copy(f"{SF_DIR}/events.parquet", src + "/part-0.parquet")
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            streaming_sessionize(stream, gap="30 minutes", watermark="30 minutes")
+            .writeStream.format("memory").queryName("sess")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM sess").toPandas()
+
+        batch_df = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch = sessionize(batch_df, gap="30 minutes", include_end=True).toPandas()
+        max_ts = batch_df.agg(F.max("ts")).first()[0]
+        wm = max_ts - pd.Timedelta(minutes=30)
+        closed = batch[batch["session_end"] <= wm]
+        key = ["user_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            closed.sort_values(key).reset_index(drop=True),
+        )
+        assert len(got) > 100  # the fixture closes plenty of sessions
+
+    def test_gap_boundary_semantics(self, spark):
+        # measured session_window boundary: an event exactly `gap` after
+        # the previous one still MERGES (closed interval); one second
+        # beyond breaks. The DuckDB oracle's strict `> gap` break must
+        # match — this test pins the convention both sides share.
+        from hex2vec_spark.operators.sessions import sessionize
+
+        rows = pd.DataFrame({
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([
+                "2026-01-01 10:00:00", "2026-01-01 10:30:00", "2026-01-01 11:00:01",
+            ]),
+            "value": [1.0, 2.0, 4.0],
+        })
+        out = sessionize(spark.createDataFrame(rows), gap="30 minutes").toPandas()
+        # 10:00 + 10:30:00 merge (diff == 30m, inclusive); 11:00:01 is
+        # 30m01s after 10:30 -> new session
+        assert len(out) == 2
+        assert sorted(out["n_events"]) == [1, 2]
+
+
 class TestWindowedStreaming:
     def test_windowed_counts_matches_batch(self, spark, tmp_path):
         import shutil
