@@ -164,3 +164,49 @@ def load_processed(
             cond = c if cond is None else (cond | c)
         df = df.where(cond)
     return df
+
+
+def build_embeddings(
+    spark: SparkSession,
+    out_root: str,
+    dim: int = 16,
+    n_iter: int = 8,
+    lr: float = 1.0,
+    seed: int = 13,
+    k: int = 1,
+    k_excl: int = 2,
+    n_negatives: int = 4,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Entry point B+C bridge — the full "2vec" (cluster-word2vec.ipynb
+    cells 5->27): neighbor dataset from the committed features table ->
+    SGNS training (operators/embed) -> cell-embedding table COMMITTED
+    under ``out_root/embeddings`` (versioned, time-travelable like the
+    features table). Returns the embeddings DataFrame; downstream
+    similarity/cluster queries (cells 28-91) read it back via
+    ``load_embeddings``."""
+    from ..operators.embed import embeddings_table, skipgram_fit
+    from ..sources.iceberg_lite import commit_table
+
+    ds = build_neighbor_dataset(
+        spark, out_root, k=k, k_excl=k_excl, n_negatives=n_negatives,
+        snapshot_id=snapshot_id,
+    )
+    vocab, w, losses = skipgram_fit(ds, dim=dim, n_iter=n_iter, lr=lr, seed=seed)
+    emb = embeddings_table(spark, vocab, w)
+    commit_table(
+        emb, os.path.join(out_root, "embeddings"), mode="overwrite",
+        partition_res=None,
+        snapshot_extra={"train": {"dim": dim, "n_iter": n_iter, "lr": lr,
+                                  "seed": seed, "final_loss": losses[-1] if losses else None}},
+    )
+    return emb
+
+
+def load_embeddings(
+    spark: SparkSession, out_root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read back the committed cell embeddings (time-travelable)."""
+    from ..sources.iceberg_lite import read_table
+
+    return read_table(spark, os.path.join(out_root, "embeddings"), snapshot_id=snapshot_id)

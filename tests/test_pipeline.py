@@ -252,6 +252,33 @@ class TestEndToEndBuild:
             ring2 = set(ring2.view(np.int64).tolist())
             assert not (set(r["neg_h3s"]) & ring2)
 
+    def test_build_embeddings_end_to_end(self, spark, tmp_path):
+        # the full "2vec": features -> neighbor dataset -> SGNS training
+        # -> committed embeddings -> read back -> cluster (the reference
+        # notebook cells 5 -> 49 as one engine program)
+        from hex2vec_spark.operators.cluster import kmeans_fit
+        from hex2vec_spark.plans.pipeline import (
+            build_dataset, build_embeddings, load_embeddings,
+        )
+        from hex2vec_spark.sources.iceberg_lite import snapshots
+        from hex2vec_spark.sources.synth import images_table, regions_pandas
+
+        root = str(tmp_path / "e2e2vec")
+        build_dataset(spark, images_table(spark, 800), regions_pandas(), root,
+                      res=RES, n_buckets=2)
+        emb = build_embeddings(spark, root, dim=4, n_iter=2, seed=5)
+        back = load_embeddings(spark, root)
+        a = emb.orderBy("h3").toPandas()
+        b = back.orderBy("h3").toPandas()
+        assert list(a["h3"]) == list(b["h3"]) and len(a) > 10
+        assert all(len(v) == 4 for v in b["embedding"])
+        # committed with training metadata in the snapshot log
+        snap = snapshots(str(tmp_path / "e2e2vec" / "embeddings"))[-1]
+        assert snap["train"]["dim"] == 4 and snap["train"]["final_loss"] is not None
+        # downstream clustering consumes the committed table directly
+        cents, _ = kmeans_fit(back.withColumnRenamed("h3", "vec_id"), k=3, max_iter=3)
+        assert cents.shape == (3, 4) and np.isfinite(cents).all()
+
     def test_load_processed_filters(self, spark, tmp_path):
         from hex2vec_spark.plans.pipeline import build_dataset, load_processed
         from hex2vec_spark.sources.synth import images_table, regions_pandas
