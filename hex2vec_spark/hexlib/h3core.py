@@ -509,8 +509,17 @@ def _lattice_candidates(
     spacing_rad = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
     pad_rad = (pad_cells + 1.0) * spacing_rad
 
-    # --- bbox boundary samples (K per edge) + bbox center/radius
-    K = 48
+    # --- bbox boundary samples (K per edge) + bbox center/radius.
+    # K adapts to the bbox size in CELLS: sub-cell polygons (the typical
+    # batched-cover input) need only a handful of samples per edge — the
+    # sagitta pad covers the rest — and this sandbox charges heavily for
+    # large fresh allocations (first-touch page faults: 48 samples/edge
+    # across 500 polys measured 1.2s inside ic.project alone)
+    spacing_rad0 = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
+    max_span = float(
+        np.radians(np.maximum(lat1 - lat0, lng1 - lng0)).max(initial=0.0)
+    )
+    K = int(np.clip(2 * np.ceil(max_span / spacing_rad0), 8, 48))
     t = np.linspace(0.0, 1.0, K)
     e_lat = np.empty((P, 4 * K))
     e_lng = np.empty((P, 4 * K))
@@ -566,7 +575,12 @@ def _lattice_candidates(
     direct = d_all.min(axis=1) >= 0.3
 
     samples = es.copy()
-    gap_rad = ksl.copy()  # per-pair max sample-gap (radians) for sagitta
+    # per-pair max sample-gap (radians) for the sagitta pad. On the
+    # DIRECT tier this is the true bbox-edge sample spacing (span/K) —
+    # NOT ksl, which additionally carries the clip slack + pad and would
+    # inflate sag_ax by ~2 cells per side on small polygons (measured
+    # ~3x more candidates into the exact refine)
+    gap_rad = (np.radians(np.maximum(lat1 - lat0, lng1 - lng0)) / K)[p_i]
     nd = np.nonzero(~direct)[0]
     if nd.size:
         b = bcc[nd][:, None, :]  # (m, 1, 3)
