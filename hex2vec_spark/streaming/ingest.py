@@ -30,14 +30,14 @@ def streaming_hex_features(
     images_stream: DataFrame, tiling_sdf: DataFrame, res: int = DEFAULT_RES
 ) -> DataFrame:
     """Same logical plan as the batch flagship, incrementally maintained:
-    h3 encode (Arrow UDF works on streaming DFs) -> broadcast tiling
-    join (stream-static join: no state) -> explode -> streaming agg
-    (state = running counts per (region_id, h3, feature))."""
-    # coalesce: single ArrowEvalPython for the join key (see
-    # operators/spatial.assign_h3)
-    with_h3 = images_stream.withColumn(
-        "h3", F.coalesce(h3_from_phash_res(res)(F.col("phash")), F.lit(-1))
-    )
+    h3 encode (the JVM expression chain works on streaming DFs too —
+    pure projections are streaming-safe; Arrow-kernel fallback on seam
+    bboxes) -> broadcast tiling join (stream-static join: no state) ->
+    explode -> streaming agg (state = running counts per
+    (region_id, h3, feature))."""
+    from ..operators.spatial import assign_h3
+
+    with_h3 = assign_h3(images_stream, res=res)
     joined = with_h3.join(F.broadcast(tiling_sdf), "h3", "inner")
     tags = (
         joined.withColumn("feature", F.explode(F.split(F.col("caption"), ";")))
