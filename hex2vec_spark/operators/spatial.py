@@ -48,14 +48,17 @@ def build_tiling(regions_pdf: pd.DataFrame, res: int = DEFAULT_RES, buffer_k: in
     Returns pandas (region_id, h3:int64) — a dimension table, built
     driver-side and broadcast (SURVEY.md J2: tiny side always broadcast).
     """
+    # Per-region scalar covers, NOT cover_intersect_batch: the batch
+    # path's pair bookkeeping (composite-key dedupe, per-pair gathers)
+    # pays off for MANY SMALL polygons sharing lattice regions; for a
+    # handful of region-sized polygons it measured 4x SLOWER than this
+    # loop for identical output (res 9: 23s vs 5s). Same candidate
+    # enumerator + exact intersects-refine either way, so the refined
+    # set equals the reference's buffer+polyfill+sjoin exactly.
     out = []
     for _, row in regions_pdf.iterrows():
         ring_lat = np.asarray(row["ring_lat"], dtype=np.float64)
         ring_lng = np.asarray(row["ring_lng"], dtype=np.float64)
-        # candidate superset: every cell in the padded bbox (covers the
-        # reference's 2x-edge metric buffer); exact intersects-refine
-        # below yields precisely {cells intersecting the polygon}, the
-        # same set the reference's buffer+polyfill+sjoin produces
         cand = h3core.cells_covering_bbox(ring_lat, ring_lng, res, pad_cells=buffer_k)
         verts = h3core.cell_boundary(cand)  # (n, 6, 2)
         hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], ring_lat, ring_lng)
