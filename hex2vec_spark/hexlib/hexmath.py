@@ -218,8 +218,55 @@ def axial_to_ijk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+# coset lookup tables for the integer chain: a res-r lattice point c
+# relates to its parent p as c = M p + d with M the det-7 down matrix
+# and d one of the 7 digit offsets — the 7 distinct cosets of the
+# M-lattice, identified by a LINEAR residue mod 7 (alpha = (1,-3) for
+# M_b / odd levels, (1,2) for M_a / even). Asserted to be a complete
+# residue system at import.
+_COSET_LUT_B = np.full(7, -1, dtype=np.int64)
+_COSET_LUT_A = np.full(7, -1, dtype=np.int64)
+for _d in range(7):
+    _da, _db = int(_AXIAL_OF_DIGIT[_d, 0]), int(_AXIAL_OF_DIGIT[_d, 1])
+    _COSET_LUT_B[(_da - 3 * _db) % 7] = _d
+    _COSET_LUT_A[(_da + 2 * _db) % 7] = _d
+assert sorted(_COSET_LUT_B) == list(range(7)) and sorted(_COSET_LUT_A) == list(range(7))
+
+
 def chain_up_digits_axial(a: np.ndarray, b: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Integer-axial chain res -> 0. Returns (a0, b0, digits (...,res))."""
+    """Integer-axial chain res -> 0. Returns (a0, b0, digits (...,res)).
+
+    COSET form (round 2; same construction as the JVM expression chain,
+    functions/h3_expr): the digit is a linear residue mod 7 and the
+    parent an exact integer division — pure int64 ops, no float
+    round/tie-fix per level (~3x less work than the float chain it
+    replaces; output PROVABLY identical — if the rounded parent ever
+    differed from the coset parent, c - M p would fall outside the 7
+    offset cosets — and asserted bit-equal against the float
+    implementation in tests/test_hexlib.py)."""
+    a = np.asarray(a, dtype=np.int64).copy()
+    b = np.asarray(b, dtype=np.int64).copy()
+    digits = np.empty(a.shape + (res,), dtype=np.int64) if res else np.zeros(a.shape + (0,), dtype=np.int64)
+    for r in range(res, 0, -1):
+        if r % 2 == 1:  # inverse of down_b: M_b^-1 = 1/7 [[2,1],[-1,3]]
+            d = _COSET_LUT_B[(a - 3 * b) % 7]
+            off = _AXIAL_OF_DIGIT[d]
+            ra = a - off[..., 0]
+            rb = b - off[..., 1]
+            a, b = (2 * ra + rb) // 7, (-ra + 3 * rb) // 7
+        else:  # inverse of down_a: M_a^-1 = 1/7 [[3,-1],[1,2]]
+            d = _COSET_LUT_A[(a + 2 * b) % 7]
+            off = _AXIAL_OF_DIGIT[d]
+            ra = a - off[..., 0]
+            rb = b - off[..., 1]
+            a, b = (3 * ra - rb) // 7, (ra + 2 * rb) // 7
+        digits[..., r - 1] = d
+    return a, b, digits
+
+
+def _chain_up_digits_axial_float(a: np.ndarray, b: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Round-1 float-round implementation, kept as the equivalence
+    oracle for the coset form (tests/test_hexlib.py)."""
     digits = np.empty(a.shape + (res,), dtype=np.int64) if res else np.zeros(a.shape + (0,), dtype=np.int64)
     for r in range(res, 0, -1):
         af = a.astype(np.float64)

@@ -206,3 +206,31 @@ class TestGeom:
         hx = np.stack([mk(0.5, 0.5, 0.1)[1], mk(5, 5, 0.1)[1], mk(0.5, 1.0, 0.1)[1], mk(0.0, 0.0, 0.3)[1]])
         got = geom.polygons_intersect_hexes(hy, hx, ring_lat, ring_lng)
         assert list(got) == [True, False, True, True]
+
+
+class TestCosetChain:
+    def test_coset_chain_equals_float_chain(self):
+        # the integer coset chain must be bit-equal to the round-1
+        # float-round implementation on arbitrary lattice points (the
+        # proof sketch is in the docstring; this pins it empirically)
+        from hex2vec_spark.hexlib import hexmath as hm
+
+        rng = np.random.default_rng(3)
+        for res in (1, 2, 5, 8, 9, 10):
+            lim = 6 * 7 ** (res // 2 + 2)
+            a = rng.integers(-lim, lim, 20000)
+            b = rng.integers(-lim, lim, 20000)
+            g = hm.chain_up_digits_axial(a.copy(), b.copy(), res)
+            f = hm._chain_up_digits_axial_float(a.copy(), b.copy(), res)
+            for x, y in zip(g, f):
+                assert np.array_equal(x, y), res
+
+    def test_roundtrip_chain_down(self):
+        from hex2vec_spark.hexlib import hexmath as hm
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(-7**6, 7**6, 5000)
+        b = rng.integers(-7**6, 7**6, 5000)
+        a0, b0, digs = hm.chain_up_digits_axial(a.copy(), b.copy(), 9)
+        ra, rb = hm.chain_down_axial(a0.copy(), b0.copy(), digs, 9)
+        assert np.array_equal(ra, a) and np.array_equal(rb, b)
