@@ -173,9 +173,8 @@ def _coset_luts() -> tuple[list[int], list[int]]:
 
 _LUT_B, _LUT_A = _coset_luts()
 
-# temp column names (dropped before returning)
+# temp column names (reserved __h3e_ prefix; dropped before returning)
 _TA, _TB = "__h3e_a", "__h3e_b"
-_TEMPS = ("__h3e_a", "__h3e_b", "__h3e_rs", "__h3e_xr", "__h3e_yr")
 
 
 def attach_h3_jvm(
@@ -195,11 +194,21 @@ def attach_h3_jvm(
     src/data/make_dataset.py:96-99) — here as ~room 200 codegen'd scalar
     ops across res+2 collapsible projections.
     """
+    if lat is None:
+        lat = F.col("lat")
+    if lng is None:
+        lng = F.col("lng")
     face, bc_map = jvm_encode_support(bbox, res)
     base_cols = list(df.columns)
-    for t in _TEMPS:
-        if t in base_cols:
-            raise ValueError(f"column {t} collides with the encode temps")
+    # per-level digit temps are generated as __h3e_d{r}; guard the whole
+    # reserved prefix, not just the fixed names (round-2 review: a
+    # colliding input column would otherwise surface later as an opaque
+    # ambiguous-reference AnalysisException)
+    for t in base_cols:
+        if t.startswith("__h3e_"):
+            raise ValueError(
+                f"column {t} collides with the encode temps (reserved prefix __h3e_)"
+            )
 
     d2r = float(np.pi / 180.0)  # np.radians(x) == x * (pi/180) (verified)
     lat_r = lat * _D(d2r)

@@ -508,6 +508,14 @@ def _lattice_candidates(
 
     spacing_rad = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
     pad_rad = (pad_cells + 1.0) * spacing_rad
+    # COARSE resolutions (res <= 3: <= ~41k cells globally) use
+    # FULL-WINDOW mode: every in-reach base cell contributes its entire
+    # home window, no boundary sampling, no ball geometry. The sampled
+    # path's guards break down here — pad_rad alone is 0.3-0.9 rad at
+    # res 0-1, which used to trip the _WALK_MAX_RAD check for a
+    # 0.2-degree polygon (round-2 review finding) — and enumeration is
+    # cheap at these cell counts anyway.
+    full_window = res <= 3
 
     # --- bbox boundary samples (K per edge) + bbox center/radius.
     # K adapts to the bbox size in CELLS: sub-cell polygons (the typical
@@ -515,11 +523,10 @@ def _lattice_candidates(
     # sagitta pad covers the rest — and this sandbox charges heavily for
     # large fresh allocations (first-touch page faults: 48 samples/edge
     # across 500 polys measured 1.2s inside ic.project alone)
-    spacing_rad0 = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
     max_span = float(
         np.radians(np.maximum(lat1 - lat0, lng1 - lng0)).max(initial=0.0)
     )
-    K = int(np.clip(2 * np.ceil(max_span / spacing_rad0), 8, 48))
+    K = int(np.clip(2 * np.ceil(max_span / spacing_rad), 8, 48))
     t = np.linspace(0.0, 1.0, K)
     e_lat = np.empty((P, 4 * K))
     e_lng = np.empty((P, 4 * K))
@@ -536,11 +543,12 @@ def _lattice_candidates(
     box_rad = np.arccos(
         np.clip(np.einsum("pkj,pj->pk", exyz, cxyz), -1.0, 1.0)
     ).max(axis=1)
-    if float(box_rad.max(initial=0.0)) + pad_rad > _WALK_MAX_RAD:
+    if not full_window and float(box_rad.max(initial=0.0)) + pad_rad > _WALK_MAX_RAD:
         raise ValueError(
-            f"bbox half-diagonal {float(box_rad.max()):.3f} rad exceeds the "
-            f"lattice-walk bound {_WALK_MAX_RAD} (cover of >~2200 km-radius "
-            "polygons is unsupported — split the polygon first)"
+            f"bbox half-diagonal {float(box_rad.max()):.3f} rad (+ pad "
+            f"{pad_rad:.3f}) exceeds the lattice-walk bound {_WALK_MAX_RAD} "
+            "(cover of >~2200 km-radius polygons at res >= 4 is unsupported "
+            "— split the polygon first)"
         )
 
     # --- in-reach (box, base cell) pairs
@@ -566,6 +574,17 @@ def _lattice_candidates(
     #     traces boundary(bbox ∩ ball) at bbox-sample density) plus a
     #     clipped M-point ball circle; everything then projects with
     #     d >= cos(0.652 + R_b) >= 0.55.
+    if full_window:
+        # every in-reach bc contributes its whole home window: cells
+        # homed on a bc have hex2d magnitude <= ~3.5 u at res 0, i.e.
+        # axial |a|,|b| <= 4.1 * sqrt7^res at res level; +2 margin
+        B = int(np.ceil(4.1 * hm.SQRT7 ** res)) + 2
+        i0 = np.full(n_pairs, -B, dtype=np.int64)
+        i1 = np.full(n_pairs, B, dtype=np.int64)
+        j0, j1 = i0.copy(), i1.copy()
+        p_l, bc_l = p_i, bc_i
+        return _enumerate_windows(p_l, bc_l, i0, i1, j0, j1, res)
+
     ksl = np.maximum(
         np.radians(np.maximum(lat1 - lat0, lng1 - lng0)) / K, spacing_rad
     )[p_i] + pad_rad
@@ -652,7 +671,6 @@ def _lattice_candidates(
     fb = (2.0 * sy / np.sqrt(3.0)).reshape(n_pairs, S)
     amin, amax = fa.min(axis=1), fa.max(axis=1)
     bmin, bmax = fb.min(axis=1), fb.max(axis=1)
-    live = np.ones(n_pairs, dtype=bool)
 
     # pads, in axial units (1 axial unit ~ 1 center spacing): the
     # geometric pad, the clip slack, and the sampling sagitta (image-arc
@@ -667,11 +685,22 @@ def _lattice_candidates(
     i1 = np.ceil(amax + pad_ax).astype(np.int64)
     j0 = np.floor(bmin - pad_ax).astype(np.int64)
     j1 = np.ceil(bmax + pad_ax).astype(np.int64)
-    i0, i1, j0, j1 = i0[live], i1[live], j0[live], j1[live]
-    p_l, bc_l = p_i[live], bc_i[live]
-    face_l = face_i[live]
+    return _enumerate_windows(p_i, bc_i, i0, i1, j0, j1, res)
 
-    # --- enumerate integer lattice points per pair (flattened)
+
+def _enumerate_windows(
+    p_l: np.ndarray,
+    bc_l: np.ndarray,
+    i0: np.ndarray,
+    i1: np.ndarray,
+    j0: np.ndarray,
+    j1: np.ndarray,
+    res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate integer lattice points of per-(box, bc) axial windows,
+    chain each DISTINCT point once, keep those that are real cells of
+    their window's bc. Returns (box_idx, cell) pairs (with duplicates
+    across windows; callers dedupe)."""
     n_a = i1 - i0 + 1
     n_b = j1 - j0 + 1
     k = n_a * n_b
@@ -693,7 +722,7 @@ def _lattice_candidates(
     u_bc = (uniq // ((OFF << 1) * (OFF << 1))).astype(np.int64)
     u_a = (uniq // (OFF << 1)) % (OFF << 1) - OFF
     u_b = uniq % (OFF << 1) - OFF
-    a0, b0, digits = hm.chain_up_digits_axial(u_a.copy(), u_b.copy(), res)
+    a0, b0, digits = hm.chain_up_digits_axial(u_a, u_b, res)
     in_win = (np.abs(a0) <= 2) & (np.abs(b0) <= 2)
     key0 = np.where(in_win, (a0 + 2) * 5 + (b0 + 2), 0)
     u_face = ic.HOME_FACE[u_bc]

@@ -159,24 +159,46 @@ def ward_linkage(X: np.ndarray) -> np.ndarray:
     # labels[] maps slots to scipy cluster ids
     labels = np.arange(n)
     out = np.zeros((n - 1, 4))
+    # cached per-row minima: the O(n^2)-per-step masked-matrix argmin of
+    # the first implementation made the whole fit O(n^3) TIME with two
+    # O(n^2) ALLOCATIONS per step (round-2 review) — infeasible at the
+    # max_rows cap. Rows are inf'd out IN PLACE on deactivation and only
+    # rows whose cached minimum pointed at a merged slot are rescanned.
+    row_min_val = sq.min(axis=1)
+    row_min_idx = sq.argmin(axis=1)
     for step in range(n - 1):
-        # argmin over active pairs
-        masked = np.where(active[:, None] & active[None, :], sq, np.inf)
-        flat = np.argmin(masked)
-        i, j = divmod(int(flat), n)
+        masked = np.where(active, row_min_val, np.inf)
+        i = int(np.argmin(masked))
+        j = int(row_min_idx[i])
+        d2 = float(row_min_val[i])
         if i > j:
             i, j = j, i
-        d2 = masked[i, j]
         out[step] = (labels[i], labels[j], np.sqrt(d2), size[i] + size[j])
-        # Lance-Williams update into slot i
+        # Lance-Williams update into slot i; slot j deactivates
         ni, nj, nk = size[i], size[j], size
         upd = ((ni + nk) * sq[i] + (nj + nk) * sq[j] - nk * d2) / (ni + nj + nk)
+        upd[i] = np.inf
+        upd[~active] = np.inf
+        upd[j] = np.inf
         sq[i] = upd
         sq[:, i] = upd
-        sq[i, i] = np.inf
+        sq[j, :] = np.inf
+        sq[:, j] = np.inf
         active[j] = False
         size[i] = ni + nj
         labels[i] = n + step
+        # cheap minima refresh: rows improved by the new column i...
+        better = upd < row_min_val
+        row_min_val = np.where(better, upd, row_min_val)
+        row_min_idx = np.where(better, i, row_min_idx)
+        # ...and rows whose cached minimum is gone (pointed at i or j)
+        stale = np.nonzero(active & ~better & ((row_min_idx == i) | (row_min_idx == j)))[0]
+        if len(stale):
+            row_min_val[stale] = sq[stale].min(axis=1)
+            row_min_idx[stale] = sq[stale].argmin(axis=1)
+        row_min_val[i] = sq[i].min()
+        row_min_idx[i] = sq[i].argmin()
+        row_min_val[j] = np.inf
     return out
 
 

@@ -100,11 +100,15 @@ def _shingle_hashes_udf(shingle: int = 3, n_hashes: int = 32):
     a per-row min via np.minimum.reduceat. Deterministic cross-process.
     """
     seeds = (np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-    coef = np.array(
-        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9][:shingle]
-        + [0x27D4EB2F165667C5] * max(0, shingle - 3),
-        dtype=np.uint64,
-    )
+    # per-position coefficients must be DISTINCT for every position or
+    # the combination loses order sensitivity (round-2 review: a shared
+    # tail constant made shingle>4 windows equal under position swaps);
+    # successive odd powers of a golden-ratio multiplier are all distinct
+    coef = np.empty(shingle, dtype=np.uint64)
+    c = 0x9E3779B97F4A7C15  # Python ints: silent mod-2^64, no numpy scalar-overflow warnings
+    for k in range(shingle):
+        coef[k] = c
+        c = (c * 0xC2B2AE3D27D4EB4F | 1) & 0xFFFFFFFFFFFFFFFF
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(text: pd.Series) -> pd.Series:

@@ -33,8 +33,13 @@ def tfidf(
     feat_df = df.groupBy(feature_col).agg(
         F.countDistinct(key_col).alias("_df")
     )
+    # NO broadcast hint on the document-frequency table: it is
+    # VOCABULARY-sized (one row per distinct token — unbounded for
+    # free-text features, unlike standardize/minmax's key columns), so
+    # the join strategy is left to Spark's size statistics (round-2
+    # review; a forced broadcast OOMs at large vocabularies)
     out = (
-        df.join(F.broadcast(feat_df), feature_col)
+        df.join(feat_df, feature_col)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -255,7 +255,10 @@ class TestRingDistortionConstants:
         from hex2vec_spark.operators.knn import _RING_DISTORTION
 
         rng = np.random.default_rng(5)
-        for pres in (3, 5, 8):
+        # pres 6 is the engine's DEFAULT pruning path (res 9 corpus,
+        # prefix_gap 3); cover every constant the operator can pick for
+        # its common configurations
+        for pres in (2, 3, 5, 6, 7, 8):
             edge_p = h3core.edge_length_m(pres)
             lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 40)))
             lng = rng.uniform(-180, 180, 40)

@@ -179,3 +179,26 @@ class TestCodecProperties:
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         back = im.ppm_decode(im.ppm_encode(px))
         assert (back == px).all()
+
+
+class TestCoarseResolutionCover:
+    def test_coarse_res_cover_and_polyfill_work(self):
+        # round-2 review regression: pad_rad alone exceeded the sampled
+        # walk's bbox bound at res 0-1, so ANY coarse-res cover raised.
+        # Full-window mode must serve res <= 3 for arbitrary polygons.
+        la = np.array([41.0, 41.0, 41.2, 41.2])
+        ln = np.array([15.3, 15.6, 15.6, 15.3])
+        rng = np.random.default_rng(0)
+        pl = rng.uniform(41.0, 41.2, 3000)
+        pg = rng.uniform(15.3, 15.6, 3000)
+        for res in (0, 1, 2, 3):
+            cand = h3core.cells_covering_bbox(la, ln, res, pad_cells=2.0)
+            assert len(cand) > 0
+            h3core.polyfill(la, ln, res)  # must not raise
+            cset = set(int(x) for x in cand)
+            for e in np.unique(h3core.encode(pl, pg, res)):
+                assert int(e) in cset
+        # batch path agrees at coarse res too
+        p, c = h3core.cover_intersect_batch([la], [ln], 2, pad_cells=1.0)
+        verts = h3core.cell_boundary(h3core.cells_covering_bbox(la, ln, 2, 1.0))
+        assert len(c) > 0
