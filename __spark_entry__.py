@@ -1062,6 +1062,19 @@ def _q_phash_band_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def _q_dedup_keep_canonical(spark, sf_dir):
+    # the complete near-dup dedup story in one program: MinHash LSH
+    # candidate pairs -> connected components -> keep the min-id row per
+    # group (rows-only: LSH bucketing is not SQL-expressible; the
+    # components stage alone is oracled via `dedup_components`)
+    from hex2vec_spark.operators.components import keep_canonical
+    from hex2vec_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents").limit(1000).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(d)
+    return keep_canonical(d, pairs, "doc_id").select("doc_id", "n_chars")
+
+
 def _q_agglomerative(spark, sf_dir):
     # reference clustering parity: Ward agglomerative over embeddings
     # (21 of the reference's saved map configs are agglomerative_*);
@@ -1223,6 +1236,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "sessionize": _q_sessionize,
         "agglomerative": _q_agglomerative,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         # image / H3 pipeline (rows-only; pandas-oracle tests in tests/)
         "hex_features": _q_hex_features,
         "assignments": _q_assignments,
