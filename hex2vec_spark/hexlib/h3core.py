@@ -508,14 +508,16 @@ def _lattice_candidates(
 
     spacing_rad = EDGE_LENGTH_M[res] * np.sqrt(3.0) / 6_371_008.8
     pad_rad = (pad_cells + 1.0) * spacing_rad
-    # COARSE resolutions (res <= 3: <= ~41k cells globally) use
+    # COARSE resolutions (res <= 1: <= ~842 cells globally) use
     # FULL-WINDOW mode: every in-reach base cell contributes its entire
     # home window, no boundary sampling, no ball geometry. The sampled
-    # path's guards break down here — pad_rad alone is 0.3-0.9 rad at
-    # res 0-1, which used to trip the _WALK_MAX_RAD check for a
-    # 0.2-degree polygon (round-2 review finding) — and enumeration is
-    # cheap at these cell counts anyway.
-    full_window = res <= 3
+    # path genuinely breaks there — pad_rad alone is 0.3-0.9 rad, which
+    # trips the _WALK_MAX_RAD check for a 0.2-degree polygon and pushes
+    # the ball tier past its projection-validity bound (round-2 review
+    # finding). res >= 2 stays on the sampled path: full-window there
+    # measured ~500x slower for batched small-polygon covers (every
+    # pair enumerates its bc's whole (2B+1)^2 window).
+    full_window = res <= 1
 
     # --- bbox boundary samples (K per edge) + bbox center/radius.
     # K adapts to the bbox size in CELLS: sub-cell polygons (the typical
@@ -560,7 +562,6 @@ def _lattice_candidates(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     n_pairs = len(p_i)
     face_i = ic.HOME_FACE[bc_i]
-    bcc = ic.BC_CENTER[bc_i]  # (n_pairs, 3)
 
     # --- boundary(REGION) samples per pair. Two tiers:
     #   DIRECT (the practical case, ~all pairs): every bbox boundary
@@ -602,6 +603,7 @@ def _lattice_candidates(
     gap_rad = (np.radians(np.maximum(lat1 - lat0, lng1 - lng0)) / K)[p_i]
     nd = np.nonzero(~direct)[0]
     if nd.size:
+        bcc = ic.BC_CENTER[bc_i]  # (n_pairs, 3); only the ball tier needs it
         b = bcc[nd][:, None, :]  # (m, 1, 3)
         s = es[nd]  # (m, 4K, 3)
         cosd_s = np.clip(np.einsum("mkj,m1j->mk", s, b), -1.0, 1.0)

@@ -6,11 +6,12 @@ and NormalizingEmbedder (StandardScaler / MinMaxScaler) run over the
 collected wide matrix before KMeans (cluster-word2vec.ipynb cell 28).
 
 Spark-first shape: the engine keeps features NARROW — (key, feature,
-value) — so every normalization is a two-pass aggregate:
-per-feature (or per-key) stats via groupBy, broadcast-joined back onto
-the fact rows. Stats tables are dimension-sized (one row per feature),
-the fact side never shuffles, and everything is pure JVM expressions —
-whole-stage codegen, SQL-expressible, DuckDB-oracled.
+value) — so every normalization is a two-pass aggregate: per-feature
+(or per-key) stats via groupBy, joined back onto the fact rows. Stats
+tables carry one row per distinct feature; Spark's size statistics
+pick broadcast for the dimension-like cases (no forced hint — feature
+cardinality is unbounded for free-text tokens). Everything is pure JVM
+expressions — whole-stage codegen, SQL-expressible, DuckDB-oracled.
 """
 
 from __future__ import annotations
@@ -33,10 +34,11 @@ def tfidf(
     feat_df = df.groupBy(feature_col).agg(
         F.countDistinct(key_col).alias("_df")
     )
-    # NO broadcast hint on the document-frequency table: it is
-    # VOCABULARY-sized (one row per distinct token — unbounded for
-    # free-text features, unlike standardize/minmax's key columns), so
-    # the join strategy is left to Spark's size statistics (round-2
+    # NO broadcast hint on the per-feature stats tables anywhere in this
+    # module: they are FEATURE-CARDINALITY-sized (one row per distinct
+    # feature — unbounded when features are free-text tokens), so the
+    # join strategy is left to Spark's size statistics, which still
+    # broadcasts the small dimension-like cases automatically (round-2
     # review; a forced broadcast OOMs at large vocabularies)
     out = (
         df.join(feat_df, feature_col)
@@ -72,7 +74,7 @@ def standardize(
         F.stddev_pop(value_col).alias("_sd"),
     )
     return (
-        df.join(F.broadcast(stats), feature_col)
+        df.join(stats, feature_col)  # no broadcast hint: see tfidf note
         .withColumn(
             "z",
             (F.col(value_col) - F.col("_mu"))
@@ -94,7 +96,7 @@ def minmax_scale(
     )
     rng = F.col("_hi") - F.col("_lo")
     return (
-        df.join(F.broadcast(stats), feature_col)
+        df.join(stats, feature_col)  # no broadcast hint: see tfidf note
         .withColumn(
             "scaled",
             (F.col(value_col) - F.col("_lo"))

@@ -198,7 +198,8 @@ class TestCoarseResolutionCover:
             cset = set(int(x) for x in cand)
             for e in np.unique(h3core.encode(pl, pg, res)):
                 assert int(e) in cset
-        # batch path agrees at coarse res too
+        # batch path works at coarse res too, and boundaries decode
         p, c = h3core.cover_intersect_batch([la], [ln], 2, pad_cells=1.0)
-        verts = h3core.cell_boundary(h3core.cells_covering_bbox(la, ln, 2, 1.0))
         assert len(c) > 0
+        verts = h3core.cell_boundary(h3core.cells_covering_bbox(la, ln, 1, 1.0))
+        assert verts.shape[1:] == (6, 2) and np.isfinite(verts).all()
