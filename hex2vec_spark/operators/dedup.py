@@ -324,36 +324,59 @@ def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-bucket (random hyperplanes), join
-    within buckets, verify cosine >= threshold. Shares the dot/norm
-    expression kernels with operators/knn (same LSH bucketing there)."""
+    """Embedding-cosine near-dup: banded random-hyperplane LSH (OR over
+    ``n_tables`` independent tables of ``n_planes`` planes each), join
+    within (table, bucket), verify cosine >= threshold.
+
+    Recall math (sign-LSH): a pair at angle theta agrees on one plane
+    with p = 1 - theta/pi. A single AND-only table of 8 planes keeps a
+    cosine-0.95 pair (theta ~ 18deg, p ~ 0.90) with p^8 ~ 0.43 — it
+    MISSES most qualifying pairs (the round-2 defect). OR'ing T
+    independent tables lifts recall to 1 - (1 - p^k)^T; the default
+    (k=8, T=8) gives ~0.99 at cosine 0.95 while each join still only
+    compares rows sharing a full 8-bit bucket. ``distinct`` folds pairs
+    that collide in several tables. Same banded OR-construction as
+    ``minhash_lsh_pairs`` above; precision is exact (cosine verified).
+    """
     from .knn import _dot, _norm, _sniff_dim
 
     dim = _sniff_dim(emb, vec_col)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
 
     vc = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = F.shiftleft(bucket, 1) + F.when(_dot(vc, planes[p].tolist()) >= 0, 1).otherwise(0)
+    table_structs = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            bucket = F.shiftleft(bucket, 1) + F.when(
+                _dot(vc, planes[t, p].tolist()) >= 0, 1
+            ).otherwise(0)
+        table_structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("key")))
     norm = _norm(vc)
-    sig = emb.select(F.col(id_col), vc.alias("v"), bucket.alias("bucket"), norm.alias("nrm"))
-    # self-join: materialize the signatures once (n_planes dot products
-    # per row would otherwise run on both sides)
+    sig = emb.select(
+        F.col(id_col),
+        vc.alias("v"),
+        norm.alias("nrm"),
+        F.explode(F.array(*table_structs)).alias("tk"),
+    ).select(id_col, "v", "nrm", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    # self-join: materialize the signatures once (n_tables*n_planes dot
+    # products per row would otherwise run on both sides)
     sig = sig.localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .withColumn("cosine", dot_ab / (F.col("a.nrm") * F.col("b.nrm")))
         .where(F.col("cosine") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+        .distinct()
     )

@@ -252,22 +252,38 @@ class TestRingDistortionConstants:
         # distortion worsens, this fails rather than silently returning
         # wrong top-k.
         from hex2vec_spark.hexlib import geom, h3core
+        from hex2vec_spark.hexlib import icosa as ic
         from hex2vec_spark.operators.knn import _RING_DISTORTION
 
         rng = np.random.default_rng(5)
+        # round-3 advisor strengthening: the operator stops on rings up
+        # to max_ring=8, and the worst distortion sits on base-cell
+        # seams — so measure rings 2..8 on random points PLUS a
+        # seam-dense set (midpoints of every nearby base-cell center
+        # pair: 360 points that straddle icosahedron edges/vertices).
+        mids = []
+        bc = ic.BC_CENTER
+        for i in range(122):
+            for j in range(i + 1, 122):
+                if bc[i] @ bc[j] > np.cos(0.45):
+                    m = bc[i] + bc[j]
+                    mids.append(m / np.linalg.norm(m))
+        mids = np.array(mids)
+        slat = np.degrees(np.arcsin(mids[:, 2]))
+        slng = np.degrees(np.arctan2(mids[:, 1], mids[:, 0]))
         # pres 6 is the engine's DEFAULT pruning path (res 9 corpus,
         # prefix_gap 3); cover every constant the operator can pick for
         # its common configurations
         for pres in (2, 3, 5, 6, 7, 8):
             edge_p = h3core.edge_length_m(pres)
-            lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 40)))
-            lng = rng.uniform(-180, 180, 40)
+            lat = np.concatenate([np.degrees(np.arcsin(rng.uniform(-1, 1, 60))), slat])
+            lng = np.concatenate([rng.uniform(-180, 180, 60), slng])
             qpar = h3core.encode(lat, lng, pres)
             worst = np.inf
             for i in range(len(lat)):
                 qp = np.array([qpar[i]], dtype=np.uint64)
                 prev = {int(qp[0])}
-                for r in range(1, 4):
+                for r in range(1, 9):
                     cur = set(int(x) for x in h3core.kring(qp, r)[0])
                     outer = cur - prev
                     prev = cur
@@ -351,6 +367,57 @@ class TestPlantedDups:
                 if bin((int(ph[i]) ^ int(ph[j])) & (2**64 - 1)).count("1") <= 6:
                     want.add((ids[i], ids[j]))
         assert got == want and len(want) >= 15
+
+    def test_embedding_near_dup_straddle_recall(self, spark):
+        # round-2 recall hole: a single AND-only 8-plane table keeps a
+        # cosine-0.95 pair only with p^8 ~ 0.43. Plant pairs that
+        # straddle EXACTLY one hyperplane of table 0 (the old single
+        # table) — the old design misses 100% of them by construction;
+        # the banded OR over 8 tables must recover essentially all.
+        from hex2vec_spark.operators.dedup import embedding_near_dup
+
+        dim, n_planes, n_tables, seed = 16, 8, 8, 7
+        rng_planes = np.random.default_rng(seed)
+        planes = rng_planes.standard_normal((n_tables, n_planes, dim))
+        t0 = planes[0] / np.linalg.norm(planes[0], axis=1, keepdims=True)
+
+        rng = np.random.default_rng(123)
+        ids, vecs, planted = [], [], []
+        for k in range(30):
+            p = t0[k % n_planes]
+            v = rng.standard_normal(dim)
+            v_par = v - (v @ p) * p          # project onto plane k%8
+            v_par /= np.linalg.norm(v_par)
+            eps = 0.05                        # cos(u1,u2) ~ (1-eps^2)/(1+eps^2) ~ 0.995
+            u1, u2 = v_par + eps * p, v_par - eps * p
+            # straddle check: the pair differs in bit k%8 of table 0, so
+            # the old single-table bucket keys differ -> old design
+            # misses this pair with certainty
+            s1 = (t0 @ u1) >= 0
+            s2 = (t0 @ u2) >= 0
+            assert s1[k % n_planes] != s2[k % n_planes]
+            ids += [2 * k, 2 * k + 1]
+            vecs += [u1.tolist(), u2.tolist()]
+            planted.append((2 * k, 2 * k + 1))
+        # noise rows far from everything
+        for k in range(60, 100):
+            w = rng.standard_normal(dim)
+            ids.append(k + 100)
+            vecs.append((w / np.linalg.norm(w)).tolist())
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": vecs})
+        )
+        got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(
+            df, threshold=0.95, n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).collect()}
+        found = sum(1 for pr in planted if pr in got)
+        # single-table expectation on these straddle pairs: 0 found.
+        assert found >= 28, f"banded OR recall too low: {found}/30"
+        # precision: verify stage guarantees every reported pair qualifies
+        vec_by_id = dict(zip(ids, [np.array(v) for v in vecs]))
+        for a, b in got:
+            va, vb = vec_by_id[a], vec_by_id[b]
+            assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95 - 1e-9
 
     def test_simhash_hamming_close_for_near_dup(self, spark):
         from hex2vec_spark.operators.dedup import simhash_udf
