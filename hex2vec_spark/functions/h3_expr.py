@@ -123,22 +123,6 @@ def supports_bbox(bbox: tuple[float, float, float, float], res: int) -> bool:
 
 # ------------------------------------------------------------- expression
 
-def _axial_round_cols(fa: Column, fb: Column) -> tuple[Column, Column]:
-    """Catalyst replica of hexmath.axial_round (same op order: q=fa-fb,
-    r=fb, y=-q-r, rint, tie-fix). Integer-valued doubles in/out;
-    F.rint == Math.rint == np.rint (half-to-even)."""
-    q = fa - fb
-    r = fb
-    y = (-q) - r
-    rq, ry, rr = F.rint(q), F.rint(y), F.rint(r)
-    dq, dy, dr = F.abs(rq - q), F.abs(ry - y), F.abs(rr - r)
-    fix_q = (dq >= dy) & (dq >= dr)
-    fix_y = (~fix_q) & (dy >= dr)
-    rq2 = F.when(fix_q, -(ry + rr)).otherwise(rq)
-    rr2 = F.when(~(fix_q | fix_y), -(rq2 + ry)).otherwise(rr)
-    return rq2 + rr2, rr2
-
-
 # --- integer coset form of the aperture-7 digit chain.
 #
 # A res-r lattice point c relates to its parent p as c = M p + d, where
@@ -177,12 +161,20 @@ _LUT_B, _LUT_A = _coset_luts()
 _TA, _TB = "__h3e_a", "__h3e_b"
 
 
+def _dlit(v: float) -> str:
+    """Exact double literal as SQL text. ``repr`` is the shortest
+    round-trip form (float(repr(x)) == x) and Java's parseDouble is
+    correctly rounded, so the cast reproduces the identical bits; the
+    cast of a literal is constant-folded, so no runtime cost."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def attach_h3_jvm(
     df: DataFrame,
     res: int,
     bbox: tuple[float, float, float, float],
-    lat: Column | None = None,
-    lng: Column | None = None,
+    lat: Column | str | None = None,
+    lng: Column | str | None = None,
     out: str = "h3",
 ) -> DataFrame:
     """Append ``out`` = full H3 cell id (LongType) computed entirely
@@ -191,130 +183,197 @@ def attach_h3_jvm(
     back to the Arrow kernel).
 
     Reference semantics: h3.geo_to_h3 (kraina-ai/hex2vec
-    src/data/make_dataset.py:96-99) — here as ~room 200 codegen'd scalar
-    ops across res+2 collapsible projections.
+    src/data/make_dataset.py:96-99) — here as ~200 codegen'd scalar ops.
+
+    Emission strategy (round 3): the whole chain is ONE ``selectExpr``
+    whose intermediate steps are LATERAL COLUMN ALIASES. The analyzer's
+    lateral-alias rule rewrites them into the same nested-Project
+    structure the round-2 code built by hand with ~20 chained
+    ``select`` calls — every multiply-referenced step stays an
+    attribute, so no subtree duplication — but plan construction is one
+    py4j round-trip + one analysis pass instead of ~5,800 Column-op
+    round-trips + 21 eager analyses (measured 1.7-2.5 s per query,
+    BENCH_r02 hex_features/context_pairs regression; now ~0.2 s).
     """
-    if lat is None:
-        lat = F.col("lat")
-    if lng is None:
-        lng = F.col("lng")
     face, bc_map = jvm_encode_support(bbox, res)
     base_cols = list(df.columns)
-    # per-level digit temps are generated as __h3e_d{r}; guard the whole
-    # reserved prefix, not just the fixed names (round-2 review: a
-    # colliding input column would otherwise surface later as an opaque
-    # ambiguous-reference AnalysisException)
+    # temps are generated under the reserved __h3e_ prefix; guard the
+    # whole prefix (round-2 review: a colliding input column would
+    # otherwise surface later as an opaque ambiguous-reference error)
     for t in base_cols:
         if t.startswith("__h3e_"):
             raise ValueError(
                 f"column {t} collides with the encode temps (reserved prefix __h3e_)"
             )
+    # accept arbitrary lat/lng Columns by projecting them to attributes
+    # first (one cheap extra select); None means the default columns,
+    # str args are SQL fragments used verbatim
+    if lat is None:
+        lat = "`lat`"
+    if lng is None:
+        lng = "`lng`"
+    if isinstance(lat, str) and isinstance(lng, str):
+        lat_sql, lng_sql = lat, lng
+        cur = df
+    else:
+        cur = df.select("*", lat.alias("__h3e_lat"), lng.alias("__h3e_lng"))
+        lat_sql, lng_sql = "`__h3e_lat`", "`__h3e_lng`"
 
+    ex: list[str] = []
+
+    def step(name: str, sql: str) -> str:
+        ex.append(f"({sql}) AS `{name}`")
+        return f"`{name}`"
+
+    def sub(sql: str) -> str:
+        # inline subexpression (textual duplication is fine: codegen's
+        # subexpression elimination dedupes at runtime, and keeping
+        # these OUT of the alias list keeps the fused stage's operator
+        # count low — see the JIT note below)
+        return f"({sql})"
+
+    # OPERATOR-COUNT BUDGET: every lateral-alias rank below becomes one
+    # Project operator in the SAME whole-stage-codegen stage as the
+    # downstream join/explode/aggregate. Past ~25 operators the stage's
+    # generated aggregate method crosses HotSpot's 8,000-byte JIT limit
+    # and the WHOLE stage runs interpreted (observed: 37 ranks -> a
+    # 9,980-byte method, "too long to be JIT compiled", flagship 3.4 s
+    # -> 9.6 s). So the trig/projection prologue and the axial round
+    # are emitted as TWO dense ranks (inline subtrees, CSE'd at
+    # runtime) and only the aperture-7 chain gets per-level ranks.
     d2r = float(np.pi / 180.0)  # np.radians(x) == x * (pi/180) (verified)
-    lat_r = lat * _D(d2r)
-    lng_r = lng * _D(d2r)
-    cl = F.cos(lat_r)
-    x3 = cl * F.cos(lng_r)
-    y3 = cl * F.sin(lng_r)
-    z3 = F.sin(lat_r)
+    latr = sub(f"({lat_sql}) * {_dlit(d2r)}")
+    lngr = sub(f"({lng_sql}) * {_dlit(d2r)}")
+    cl = sub(f"COS({latr})")
+    x3 = sub(f"{cl} * COS({lngr})")
+    y3 = sub(f"{cl} * SIN({lngr})")
+    z3 = sub(f"SIN({latr})")
 
     cx, cy, cz = (float(v) for v in ic.FACE_CENTER[face])
     t1x, t1y, t1z = (float(v) for v in ic.FACE_T1[face])
     t2x, t2y, t2z = (float(v) for v in ic.FACE_T2[face])
     # icosa.project: d = xyz . c ; p = xyz / d ; rel = p - c ;
     # x = (rel . t1) / RES0_U (einsum sums k=0,1,2 left-to-right)
-    d = x3 * _D(cx) + y3 * _D(cy) + z3 * _D(cz)
-    px = x3 / d - _D(cx)
-    py = y3 / d - _D(cy)
-    pz = z3 / d - _D(cz)
+    d = sub(f"{x3} * {_dlit(cx)} + {y3} * {_dlit(cy)} + {z3} * {_dlit(cz)}")
+    px = sub(f"{x3} / {d} - {_dlit(cx)}")
+    py = sub(f"{y3} / {d} - {_dlit(cy)}")
+    pz = sub(f"{z3} / {d} - {_dlit(cz)}")
     u0 = float(ic.RES0_U)
-    xh = (px * _D(t1x) + py * _D(t1y) + pz * _D(t1z)) / _D(u0)
-    yh = (px * _D(t2x) + py * _D(t2y) + pz * _D(t2z)) / _D(u0)
+    xh = sub(f"({px} * {_dlit(t1x)} + {py} * {_dlit(t1y)} + {pz} * {_dlit(t1z)}) / {_dlit(u0)}")
+    yh = sub(f"({px} * {_dlit(t2x)} + {py} * {_dlit(t2y)} + {pz} * {_dlit(t2z)}) / {_dlit(u0)}")
 
-    # hexmath.res0_to_res_xy
+    # hexmath.res0_to_res_xy — rank 1: xr/yr become ATTRIBUTES here, so
+    # the axial round below never re-evaluates the trig tree
     s = float(hm.SQRT7 ** res)
     rot = hm.class_rotation(res)
     if rot == 0.0:
-        xr, yr = xh * _D(s), yh * _D(s)
+        xr = step("__h3e_xr", f"{xh} * {_dlit(s)}")
+        yr = step("__h3e_yr", f"{yh} * {_dlit(s)}")
     else:
         c_, sn = float(np.cos(rot)), float(np.sin(rot))
-        xr = _D(s) * (_D(c_) * xh - _D(sn) * yh)
-        yr = _D(s) * (_D(sn) * xh + _D(c_) * yh)
+        xr = step("__h3e_xr", f"{_dlit(s)} * ({_dlit(c_)} * {xh} - {_dlit(sn)} * {yh})")
+        yr = step("__h3e_yr", f"{_dlit(s)} * ({_dlit(sn)} * {xh} + {_dlit(c_)} * {yh})")
 
-    # project xr/yr to ATTRIBUTES before the first axial_round: the
-    # tie-fix CASE references its inputs ~20x, and inlining the trig tree
-    # there makes every row evaluate cos/sin dozens of times (measured
-    # 4.1s vs 0.26s per 10^6 rows).
-    #
-    cur = df.select("*", xr.alias("__h3e_xr"), yr.alias("__h3e_yr"))
-    xr, yr = F.col("__h3e_xr"), F.col("__h3e_yr")
-
-    # hexmath.hex2d_to_axial -> res-level axial coords, projected so the
-    # chain below reads attributes (see module docstring)
-    a0c, b0c = _axial_round_cols(xr + yr / _D(_SQRT3), (_D(2.0) * yr) / _D(_SQRT3))
-    cur = cur.select(*base_cols, a0c.alias(_TA), b0c.alias(_TB))
+    # hexmath.hex2d_to_axial + axial_round (same op order: q=fa-fb,
+    # r=fb, y=-q-r, rint, tie-fix; RINT == Math.rint == np.rint,
+    # half-to-even) — rank 2: one dense pair of aliases; every inline
+    # subtree bottoms out at the xr/yr attributes.
+    sq3 = _dlit(_SQRT3)
+    fa = sub(f"{xr} + {yr} / {sq3}")
+    fb = sub(f"({_dlit(2.0)} * {yr}) / {sq3}")
+    q = sub(f"{fa} - {fb}")
+    rv = sub(f"{fb}")
+    yv = sub(f"(- {q}) - {rv}")
+    rq = sub(f"RINT({q})")
+    ry = sub(f"RINT({yv})")
+    rr = sub(f"RINT({rv})")
+    dq = sub(f"ABS({rq} - {q})")
+    dy = sub(f"ABS({ry} - {yv})")
+    dr = sub(f"ABS({rr} - {rv})")
+    fixq = sub(f"({dq} >= {dy}) AND ({dq} >= {dr})")
+    fixy = sub(f"(NOT {fixq}) AND ({dy} >= {dr})")
+    rq2 = sub(f"CASE WHEN {fixq} THEN -({ry} + {rr}) ELSE {rq} END")
+    rr2 = sub(f"CASE WHEN NOT ({fixq} OR {fixy}) THEN -({rq2} + {ry}) ELSE {rr} END")
+    a_cur = step(f"__h3e_a{res}", f"{rq2} + {rr2}")
+    b_cur = step(f"__h3e_b{res}", f"{rr2}")
 
     # hexmath.chain_up_digits_axial in COSET form (see block comment at
     # _coset_luts): digit from a linear residue mod 7, parent via EXACT
     # integer division — integer-valued doubles throughout, so every op
     # here is exact float64 arithmetic (x/7.0 of an exact multiple of 7
     # is exact by correctly-rounded division) and the result equals the
-    # float tie-fix chain by the coset-uniqueness argument. One
-    # projection per aperture-7 step keeps the Catalyst plan linear in
-    # res (see module docstring); digits land straight in their 3-bit
-    # slots.
-    _RS = "__h3e_rs"
-    dig_cols: list[str] = []
+    # float tie-fix chain by the coset-uniqueness argument. Digits land
+    # straight in their 3-bit slots.
+    dig_names: list[str] = []
     for r in range(res, 0, -1):
-        a, b = F.col(_TA), F.col(_TB)
         if r % 2 == 1:  # inverse of down_b: M_b^-1 = 1/7 [[2,1],[-1,3]]
-            resid = F.pmod(a - _D(3.0) * b, _D(7.0)).cast("int")
+            resid = f"CAST(PMOD({a_cur} - {_dlit(3.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
             lut = _LUT_B
         else:  # inverse of down_a: M_a^-1 = 1/7 [[3,-1],[1,2]]
-            resid = F.pmod(a + _D(2.0) * b, _D(7.0)).cast("int")
+            resid = f"CAST(PMOD({a_cur} + {_dlit(2.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
             lut = _LUT_A
-        dig_of = F.array(*[F.lit(d) for d in lut])
-        da_of = F.array(*[_D(float(_AX_OFF[d][0])) for d in lut])
-        db_of = F.array(*[_D(float(_AX_OFF[d][1])) for d in lut])
-        cur = cur.select("*", resid.alias(_RS))
-        a, b, rs = F.col(_TA), F.col(_TB), F.col(_RS) + F.lit(1)
-        ra = a - F.element_at(da_of, rs)  # a - da: the parent-lattice point
-        rb = b - F.element_at(db_of, rs)
+        dig_of = "ARRAY(" + ", ".join(str(dv) for dv in lut) + ")"
+        da_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][0])) for dv in lut) + ")"
+        db_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][1])) for dv in lut) + ")"
+        # lateral-alias resolution peels ONE dependency rank per analyzer
+        # fixed-point iteration; the Resolution batch caps at
+        # spark.sql.analyzer.maxIterations (default 100). Keep this loop
+        # at TWO ranks per level (rs, then {d, a, b}) by inlining the
+        # once-referenced ra/rb parent-lattice coordinates — at res 10
+        # the original 4-rank version blew past the cap.
+        rs = step(f"__h3e_rs{r}", f"({resid}) + 1")
+        ra = f"({a_cur} - ELEMENT_AT({da_of}, {rs}))"
+        rb = f"({b_cur} - ELEMENT_AT({db_of}, {rs}))"
         if r % 2 == 1:
-            pa = (_D(2.0) * ra + rb) / _D(7.0)
-            pb = ((-ra) + _D(3.0) * rb) / _D(7.0)
+            pa = f"({_dlit(2.0)} * {ra} + {rb}) / {_dlit(7.0)}"
+            pb = f"((- {ra}) + {_dlit(3.0)} * {rb}) / {_dlit(7.0)}"
         else:
-            pa = (_D(3.0) * ra - rb) / _D(7.0)
-            pb = (ra + _D(2.0) * rb) / _D(7.0)
-        dig = F.shiftleft(
-            F.element_at(dig_of, rs).cast("long"), 3 * (15 - r)
-        )
-        dname = f"__h3e_d{r}"
-        dig_cols.append(dname)
-        cur = cur.select(*base_cols, *dig_cols[:-1], dig.alias(dname),
-                         pa.alias(_TA), pb.alias(_TB))
+            pa = f"({_dlit(3.0)} * {ra} - {rb}) / {_dlit(7.0)}"
+            pb = f"({ra} + {_dlit(2.0)} * {rb}) / {_dlit(7.0)}"
+        dig_names.append(step(
+            f"__h3e_d{r}",
+            f"SHIFTLEFT(CAST(ELEMENT_AT({dig_of}, {rs}) AS BIGINT), {3 * (15 - r)})",
+        ))
+        a_cur = step(f"__h3e_a{r - 1}", pa)
+        b_cur = step(f"__h3e_b{r - 1}", pb)
 
     # base cell from the res-0 anchor key (validated closed set): a
     # dense 25-slot literal-array lookup — non-nullable (no IsNotNull
-    # materializes on the join key) and a single small tree, vs nested
-    # whens that would duplicate the anchor_key expression per entry
-    a, b = F.col(_TA), F.col(_TB)
-    anchor_key = ((a + _D(2.0)) * _D(5.0) + b + _D(2.0)).cast("int")
+    # materializes on the join key) and a single small tree.
+    #
+    # RUNTIME GUARD (round-3 advisor fix): jvm_encode_support validates
+    # the bbox on a sampled grid, so a sub-grid-spacing sliver could in
+    # principle land in an UNVALIDATED slot at runtime; the old code
+    # packed shiftleft(-1, 45) garbage silently. Now: an in-window but
+    # unmapped slot (-1) raises via RAISE_ERROR, and an out-of-window
+    # anchor key raises via ANSI ELEMENT_AT bounds (with ANSI off,
+    # element_at yields NULL, `NULL >= 0` is not true, and the same
+    # RAISE_ERROR branch fires) — corrupt ids can never escape.
     dense = [-1] * 25
     for k, v in bc_map.items():
         dense[k] = v
-    bc: Column = F.element_at(
-        F.array(*[F.lit(v).cast("long") for v in dense]), anchor_key + F.lit(1)
+    ak = step("__h3e_ak",
+              f"CAST(({a_cur} + {_dlit(2.0)}) * {_dlit(5.0)} + {b_cur} + {_dlit(2.0)} AS INT)")
+    bc_arr = "ARRAY(" + ", ".join(f"CAST({v} AS BIGINT)" for v in dense) + ")"
+    bc_raw = f"ELEMENT_AT({bc_arr}, {ak} + 1)"
+    err = ("h3 jvm encode: point maps to a res-0 anchor slot outside the "
+           "validated bbox support (sampled-grid gap) - widen the bbox or "
+           "use the Arrow kernel path")
+    bc = step(
+        "__h3e_bc",
+        f"CASE WHEN {bc_raw} >= 0 THEN {bc_raw} "
+        f"ELSE CAST(RAISE_ERROR('{err}') AS BIGINT) END",
     )
 
     # h3core.pack: mode 1, res bits, 7-fill for unused digit slots
     n_fill = 15 - res
     fill = (1 << (3 * n_fill)) - 1 if n_fill else 0
     const = (1 << 59) | (res << 52) | fill
-    h = F.lit(const).cast("long").bitwiseOR(F.shiftleft(bc, 45))
-    for dname in dig_cols:
-        h = h.bitwiseOR(F.col(dname))
-    # PUSHDOWN FENCE on the OUTPUT projection: the spark_partition_id()
+    h_sql = f"CAST({const} AS BIGINT) | SHIFTLEFT({bc}, 45)"
+    for dn in dig_names:
+        h_sql = f"{h_sql} | {dn}"
+    hh = step("__h3e_h", h_sql)
+    # PUSHDOWN FENCE on the OUTPUT alias: the spark_partition_id()
     # guard (always true; the kernel never yields null) makes this alias
     # NON-DETERMINISTIC, so PushPredicateThroughNonJoin cannot move any
     # predicate above it (a join's IsNotNull, a user filter on h3) into
@@ -333,10 +392,11 @@ def attach_h3_jvm(
     # stay above the chain; pipelines should filter source columns
     # BEFORE assign_h3, as the engine's own plans do. coalesce makes the
     # key non-nullable, so joins don't even materialize an IsNotNull.
-    fenced = F.coalesce(
-        F.when(F.spark_partition_id() >= F.lit(-1), h), F.lit(-1)
-    )
-    return cur.select(*base_cols, fenced.alias(out))
+    fence = (f"COALESCE(CASE WHEN SPARK_PARTITION_ID() >= -1 THEN {hh} END, "
+             f"CAST(-1 AS BIGINT))")
+    quoted_base = [f"`{c}`" for c in base_cols]
+    full = cur.selectExpr(*quoted_base, *ex, f"({fence}) AS `{out}`")
+    return full.select(*base_cols, out)
 
 
 def attach_h3_from_phash_jvm(
@@ -346,10 +406,9 @@ def attach_h3_from_phash_jvm(
     convention (functions/h3_fns.geotag_np, FIXTURES.md §1) as exact
     integer/double arithmetic feeding :func:`attach_h3_jvm`."""
     lat0, lat1, lng0, lng1 = bbox
-    ph = F.col("phash")
-    u_hi = F.shiftrightunsigned(ph, 32).cast("double")
-    u_lo = ph.bitwiseAND(F.lit(0xFFFFFFFF)).cast("double")
-    two32 = float(2 ** 32)
-    lat = _D(float(lat0)) + (u_hi / _D(two32)) * _D(float(lat1 - lat0))
-    lng = _D(float(lng0)) + (u_lo / _D(two32)) * _D(float(lng1 - lng0))
+    two32 = _dlit(float(2 ** 32))
+    u_hi = "CAST(SHIFTRIGHTUNSIGNED(`phash`, 32) AS DOUBLE)"
+    u_lo = f"CAST(`phash` & {0xFFFFFFFF} AS DOUBLE)"
+    lat = f"{_dlit(float(lat0))} + ({u_hi} / {two32}) * {_dlit(float(lat1 - lat0))}"
+    lng = f"{_dlit(float(lng0))} + ({u_lo} / {two32}) * {_dlit(float(lng1 - lng0))}"
     return attach_h3_jvm(df, res, bbox, lat=lat, lng=lng, out=out)

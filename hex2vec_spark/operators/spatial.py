@@ -138,6 +138,9 @@ def tiling_table(
     return spark.read.parquet(path)
 
 
+_ENCODE_MEMO: dict = {}
+
+
 def assign_h3(
     images: DataFrame,
     res: int = DEFAULT_RES,
@@ -168,12 +171,39 @@ def assign_h3(
 
     ``jvm``: "auto" (fast path when exact), "off" (always Arrow),
     "force" (raise if the fast path isn't exact for this bbox/res).
+
+    The JVM-path result is memoized per (session, source-plan semantic
+    hash, res, bbox): several queries over the same scan (the bench's
+    hex_features + context_pairs, any multi-query pipeline) pay the
+    chain's plan construction once. DataFrames are immutable, so
+    reusing the object is safe; the memo never caches DATA, only the
+    lazy plan.
     """
     if jvm != "off":
         from ..functions import h3_expr
 
         if h3_expr.supports_bbox(bbox, res):
-            return h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
+            try:
+                # key includes the SOURCE FILE SNAPSHOT: part-file names
+                # are unique per write, so rewriting the same path (the
+                # pipeline's stage dirs) misses the memo instead of
+                # serving a stale file index (observed FAILED_READ_FILE
+                # when keyed on semantic hash alone)
+                key = (
+                    images.sparkSession,
+                    images._jdf.queryExecution().analyzed().semanticHash(),
+                    hash(tuple(sorted(images.inputFiles()))),
+                    res, bbox,
+                )
+                hit = _ENCODE_MEMO.get(key)
+                if hit is not None:
+                    return hit
+            except Exception:  # non-classic DataFrame: skip the memo
+                key = None
+            enc = h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
+            if key is not None:
+                _ENCODE_MEMO[key] = enc
+            return enc
         if jvm == "force":
             raise ValueError(f"JVM encode not exact for bbox={bbox} res={res}")
     return images.withColumn(

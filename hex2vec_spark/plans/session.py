@@ -53,14 +53,28 @@ def get_spark(
         # (PartitionPruning.trimAliases) substitutes alias trees through
         # Project stacks while merely EXAMINING join keys; through the
         # res+2-level JVM H3 encode chain (functions/h3_expr) that walk
-        # is exponential (~6x/level — observed OOM at res 8). DPP is
-        # inert for this engine's plan shapes anyway: the big fact side
-        # is scanned in full and dimensions are broadcast; table layouts
-        # prune STATICALLY via h3_p4 partition predicates
+        # is exponential (~6x/level — observed OOM at res 8; re-measured
+        # round 3: a 4,000-row chain join with DPP on did not finish
+        # optimizing in 180 s). Scoping the conf around chain-bearing
+        # queries is NOT sound: optimization runs at ACTION time, after
+        # any build-time set/restore, and Spark has no non-materializing
+        # optimizer barrier (localCheckpoint would cache the 10^12-row
+        # fact). DPP is inert for this engine's plan shapes anyway: the
+        # big fact side is scanned in full and dimensions are broadcast;
+        # table layouts prune STATICALLY via h3_p4 partition predicates
         # (sources/iceberg_lite.write_table + test_plans). Cluster jobs
         # joining runtime-filtered partitioned facts without the JVM
-        # encode chain can re-enable via --conf.
+        # encode chain can re-enable via --conf or extra={...: "true"}.
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        # headroom for the lateral-column-alias H3 encode chain
+        # (functions/h3_expr): resolution peels one alias rank per
+        # fixed-point iteration, ~2 ranks per aperture-7 level
+        .config("spark.sql.analyzer.maxIterations", "300")
+        # PySpark 4 captures a Python call-site string (inspect.stack
+        # walk) on EVERY DataFrame/Column API call when this is on;
+        # measured 0.5+ s of pure driver overhead per complex query's
+        # plan construction. It only enriches error messages — off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -126,6 +126,23 @@ class TestSupportGate:
         got = out.toPandas().set_index("phash")["h3"]
         assert (got.loc[ph].to_numpy() != expected).sum() == 0
 
+    def test_unmapped_anchor_slot_raises_not_corrupts(self, spark):
+        # round-3 advisor fix: a point landing in a res-0 slot the
+        # sampled-grid validation never saw must RAISE at runtime, not
+        # pack shiftleft(-1, 45) garbage into the cell id. Simulate the
+        # gap by poisoning the support memo with an empty slot map.
+        _, df = _phash_df(spark, 50)
+        key = (tuple(DEFAULT_BBOX), 9)
+        hx.jvm_encode_support(DEFAULT_BBOX, 9)
+        face, bc_map = hx._SUPPORT_MEMO[key]
+        try:
+            hx._SUPPORT_MEMO[key] = (face, {})
+            out = hx.attach_h3_from_phash_jvm(df, 9, DEFAULT_BBOX)
+            with pytest.raises(Exception, match="anchor slot|USER_RAISED"):
+                out.collect()
+        finally:
+            hx._SUPPORT_MEMO[key] = (face, bc_map)
+
     def test_temp_column_collision_raises(self, spark):
         _, df = _phash_df(spark, 5)
         with pytest.raises(ValueError):
