@@ -31,6 +31,20 @@ def _harden(spark: SparkSession) -> SparkSession:
     explodes exponentially (see plans/session.py for the full note);
     the engine's layouts prune statically via h3_p4 predicates."""
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    # lateral-alias H3 encode chain needs ~2 analyzer fixed-point
+    # iterations per aperture-7 level (see plans/session.py)
+    spark.conf.set("spark.sql.analyzer.maxIterations", "300")
+    # per-API-call Python call-site capture is pure driver overhead
+    # (~0.5 s per complex query's plan construction, error-msg only)
+    # but its conf is STATIC — only settable at session build
+    # (plans/session.py does); on foreign sessions fall back to the
+    # cache pyspark keeps after the first check
+    try:
+        from pyspark.errors import utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     return spark
 
 
@@ -1139,6 +1153,23 @@ def _q_skipgram_embed(spark, sf_dir):
     return out.select("h3", F.size("embedding").alias("dim"))
 
 
+def _q_autoencoder_embed(spark, sf_dir):
+    # reference's second embedding method (autoencoder.py:1-56): linear
+    # AE over the embeddings table, rows-only (iterative, not
+    # SQL-expressible) — loss/structure/determinism pinned in
+    # tests/test_embed.py
+    from hex2vec_spark.operators.embed import autoencoder_fit
+    from hex2vec_spark.operators.knn import _sniff_dim
+
+    emb = _load(spark, sf_dir, "embeddings").limit(400)
+    dim = _sniff_dim(emb, "embedding")
+    out, _losses = autoencoder_fit(
+        emb, sizes=[dim, 4], n_iter=5, lr=1e-2, seed=7,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return out.select("id", F.size("embedding").alias("dim"))
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1263,6 +1294,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "skipgram_embed": _q_skipgram_embed,
+        "autoencoder_embed": _q_autoencoder_embed,
     }
 
 

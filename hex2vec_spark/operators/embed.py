@@ -18,8 +18,15 @@ gradient descent in the engine's own mapInPandas partial-aggregate shape
     SPARSE touched rows (word_idx, grad) — shuffle volume is
     O(touched_words x dim) per partition, never O(V x dim), and the
     pairs table itself never shuffles;
-  * the driver sums partials (sorted first: deterministic for a fixed
-    partitioning up to float addition order) and applies one step.
+  * partials are combined CLUSTER-SIDE (round-3 fix; the round-2 code
+    collected every partition's partials and summed on the driver —
+    O(partitions x touched x dim) through one process): groupBy
+    (matrix, word) + a JVM zip_with fold over the per-partition
+    gradient list, sorted by partition id so float addition order is
+    fixed -> the driver receives AT MOST 2V+1 summed rows per
+    iteration regardless of partition count (asserted by
+    tests/test_embed.py::test_driver_rows_bounded);
+  * the driver applies one dense step from those <=2V+1 rows.
 
 Full-batch GD is deterministic and embarrassingly data-parallel — the
 right first trainer for a 10^12-row cluster job (hogwild-style async
@@ -134,25 +141,65 @@ def skipgram_fit(
             rows.append({"m": 2, "i": 0, "g": [loss_sum] + [0.0] * (dim - 1)})
             yield pd.DataFrame(rows, columns=["m", "i", "g"])
 
-        parts = sorted(
-            data.mapInPandas(grad_part, "m int, i long, g array<double>").collect(),
-            key=lambda r: (r["m"], r["i"], tuple(r["g"])),
+        # cluster-side combine: tag each partial with its partition id,
+        # group by (matrix, word), sort the per-key partial list by
+        # partition id (array_sort on struct<p,g> orders by p first —
+        # one partial per partition per key, so the order is total) and
+        # fold with zip_with. Deterministic float addition order for a
+        # fixed partitioning; the driver receives <= 2V+1 dense rows.
+        gdf = _reduce_partials(
+            data.mapInPandas(grad_part, "m int, i long, g array<double>"), dim
         )
+        parts = gdf.collect()
         g_in = np.zeros_like(w_in)
         g_out = np.zeros_like(w_out)
         loss = 0.0
         for r in parts:
             if r["m"] == 0:
-                g_in[r["i"]] += np.asarray(r["g"])
+                g_in[r["i"]] = np.asarray(r["g"])
             elif r["m"] == 1:
-                g_out[r["i"]] += np.asarray(r["g"])
+                g_out[r["i"]] = np.asarray(r["g"])
             else:
-                loss += r["g"][0]
+                loss = r["g"][0]
         b_w.destroy()
         w_in -= (lr / n_rows) * g_in
         w_out -= (lr / n_rows) * g_out
         losses.append(loss / n_rows)
     return vocab, w_in, losses
+
+
+def _reduce_partials(partials: DataFrame, dim: int | None = None) -> DataFrame:
+    """Cluster-side gradient combine: one summed row per (matrix, word).
+
+    Input: (m, i, g) — at most one row per (m, i) per partition (the
+    grad_part generator accumulates per-partition dicts). Output: one
+    row per (m, i), g = element-wise sum of the partials in PARTITION-ID
+    order (array_sort on struct<p, g> — p is distinct per key, so the
+    order is total and float addition is deterministic for a fixed
+    partitioning). The driver-facing row count is bounded by the number
+    of distinct (m, i) keys independent of partition count
+    (tests/test_embed.py bound test). ``dim`` pins the vector length;
+    None derives it per key from the first partial (keys may then carry
+    different lengths — the autoencoder's per-layer weight shapes).
+    """
+    zeros = (
+        F.array_repeat(F.lit(0.0), dim)
+        if dim is not None
+        else F.array_repeat(F.lit(0.0), F.size(F.element_at("ps", 1)["g"]))
+    )
+    return (
+        partials.withColumn("p", F.spark_partition_id())
+        .groupBy("m", "i")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "g"))).alias("ps"))
+        .select(
+            "m", "i",
+            F.aggregate(
+                "ps",
+                zeros,
+                lambda acc, x: F.zip_with(acc, x["g"], lambda u, v: u + v),
+            ).alias("g"),
+        )
+    )
 
 
 def _acc(d: dict, idx: np.ndarray, grads: np.ndarray) -> None:
@@ -166,6 +213,141 @@ def _acc(d: dict, idx: np.ndarray, grads: np.ndarray) -> None:
             d[int(k)] = row.copy()
         else:
             cur += row
+
+
+def autoencoder_fit(
+    feats: DataFrame,
+    sizes: list[int],
+    n_iter: int = 40,
+    lr: float = 1e-3,
+    seed: int = 17,
+    id_col: str = "h3",
+    vec_col: str = "features",
+) -> tuple[DataFrame, list[float]]:
+    """Distributed autoencoder embedder — the reference's SECOND
+    embedding method (src/models/autoencoder.py:1-56: stacked
+    Linear+ReLU encoder/decoder, MSE reconstruction, Adam(1e-3)),
+    re-expressed in the engine's broadcast-weights + mapInPandas
+    partial-gradient shape (same machinery as skipgram_fit/KMeans).
+
+    ``sizes`` mirrors the reference ctor: [D, d] is the linear AE
+    (single Linear each way — create_layers puts ReLU after every layer
+    but the last, so a 1-layer coder is linear); [D, h, d] adds a ReLU
+    hidden layer in both coder halves (decoder mirrored, reference
+    autoencoder.py:21-27).
+
+    Full-batch synchronous GD with driver-side Adam state: per
+    iteration each partition emits per-layer DENSE gradients of the
+    summed squared error over ITS rows; partials are combined
+    cluster-side (_reduce_partials — driver receives one row per
+    parameter tensor regardless of partition count) and the driver
+    applies one Adam step on the (layers x D x h)-sized weights —
+    vocabulary-scale, never fact-scale. Returns ((id, embedding)
+    DataFrame via a final broadcast-encode pass, per-iter MSE losses).
+    """
+    spark = feats.sparkSession
+    enc_sizes = list(zip(sizes[:-1], sizes[1:]))
+    dec_sizes = [(o, i) for i, o in enc_sizes][::-1]
+    rng = np.random.default_rng(seed)
+    # Glorot-ish deterministic init; decoder mirrors encoder shapes
+    weights: list[np.ndarray] = []
+    biases: list[np.ndarray] = []
+    for i, o in enc_sizes + dec_sizes:
+        weights.append(rng.standard_normal((i, o)) / np.sqrt(i))
+        biases.append(np.zeros(o))
+    n_enc = len(enc_sizes)
+    n_lay = len(weights)
+
+    src = feats.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("x")
+    ).localCheckpoint(eager=True)  # scanned n_iter+1 times
+    n_rows = src.count()
+    if n_rows == 0:
+        return src.select("id", F.col("x").alias("embedding")), []
+    denom = float(n_rows * sizes[0])  # MSE normalizer (mean over elements)
+
+    def forward(X, ws, bs):
+        acts = [X]
+        h = X
+        for li in range(n_lay):
+            z = h @ ws[li] + bs[li]
+            # ReLU after every layer except the last of each coder half
+            if li != n_enc - 1 and li != n_lay - 1:
+                z = np.maximum(z, 0.0)
+            acts.append(z)
+            h = z
+        return acts
+
+    adam_m = [np.zeros_like(w) for w in weights] + [np.zeros_like(b) for b in biases]
+    adam_v = [np.zeros_like(w) for w in weights] + [np.zeros_like(b) for b in biases]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    losses: list[float] = []
+    for it in range(n_iter):
+        bw = spark.sparkContext.broadcast((weights, biases))
+
+        def grad_part(batches):
+            ws, bs = bw.value
+            gw = [np.zeros_like(w) for w in ws]
+            gb = [np.zeros_like(b) for b in bs]
+            sse = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["x"].to_numpy())
+                acts = forward(X, ws, bs)
+                xhat = acts[-1]
+                diff = xhat - X
+                sse += float((diff * diff).sum())
+                delta = 2.0 * diff  # d(sse)/d(xhat)
+                for li in range(n_lay - 1, -1, -1):
+                    if li != n_enc - 1 and li != n_lay - 1:
+                        delta = delta * (acts[li + 1] > 0.0)
+                    gw[li] += acts[li].T @ delta
+                    gb[li] += delta.sum(axis=0)
+                    if li:
+                        delta = delta @ ws[li].T
+            rows = []
+            for li in range(n_lay):
+                rows.append({"m": li, "i": 0, "g": gw[li].ravel().tolist()})
+                rows.append({"m": n_lay + li, "i": 0, "g": gb[li].tolist()})
+            rows.append({"m": 2 * n_lay, "i": 0, "g": [sse]})
+            yield pd.DataFrame(rows, columns=["m", "i", "g"])
+
+        parts = _reduce_partials(
+            src.mapInPandas(grad_part, "m int, i long, g array<double>")
+        ).collect()
+        grads: dict[int, np.ndarray] = {r["m"]: np.asarray(r["g"]) for r in parts}
+        losses.append(grads[2 * n_lay][0] / denom)
+        t = it + 1
+        for li in range(n_lay):
+            for slot, param, g in (
+                (li, weights[li], grads[li].reshape(weights[li].shape) / denom),
+                (n_lay + li, biases[li], grads[n_lay + li] / denom),
+            ):
+                adam_m[slot] = b1 * adam_m[slot] + (1 - b1) * g
+                adam_v[slot] = b2 * adam_v[slot] + (1 - b2) * g * g
+                mh = adam_m[slot] / (1 - b1 ** t)
+                vh = adam_v[slot] / (1 - b2 ** t)
+                param -= lr * mh / (np.sqrt(vh) + eps)
+        bw.destroy()
+
+    bw_f = spark.sparkContext.broadcast((weights[:n_enc], biases[:n_enc]))
+
+    def encode_part(batches):
+        ws, bs = bw_f.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["x"].to_numpy())
+            h = X
+            for li in range(n_enc):
+                h = h @ ws[li] + bs[li]
+                if li != n_enc - 1:
+                    h = np.maximum(h, 0.0)
+            yield pd.DataFrame({"id": pdf["id"], "embedding": [r.tolist() for r in h]})
+
+    emb = src.mapInPandas(encode_part, f"id {src.schema['id'].dataType.simpleString()}, embedding array<double>")
+    return emb, losses
 
 
 def embeddings_table(

@@ -51,6 +51,78 @@ class TestSkipgram:
         assert l1 == l2
         assert np.array_equal(w1, w2)
 
+    def test_driver_rows_bounded_by_vocab(self, spark):
+        # round-3 scale fix: partials are combined CLUSTER-SIDE, so the
+        # driver-facing row count is <= 2V+1 regardless of partition
+        # count (round-2 collected O(partitions x touched words) rows).
+        # Exercise _reduce_partials directly with a many-partition
+        # partial table and verify both the bound and exact sums.
+        from hex2vec_spark.operators.embed import _reduce_partials
+
+        V, dim, n_parts = 300, 4, 24
+        rng = np.random.default_rng(5)
+        rows = []
+        expected = {}
+        for p in range(n_parts):
+            touched = rng.choice(V, size=150, replace=False)
+            for m in (0, 1):
+                for i in touched:
+                    g = rng.standard_normal(dim)
+                    rows.append((m, int(i), g.tolist()))
+                    k = (m, int(i))
+                    expected[k] = expected.get(k, np.zeros(dim)) + g
+        pdf = pd.DataFrame(rows, columns=["m", "i", "g"])
+        partials = spark.createDataFrame(pdf).repartition(n_parts)
+        out = _reduce_partials(partials, dim).collect()
+        assert len(out) <= 2 * V + 1
+        got = {(r["m"], r["i"]): np.asarray(r["g"]) for r in out}
+        assert set(got) == set(expected)
+        for k in expected:
+            np.testing.assert_allclose(got[k], expected[k], rtol=1e-9, atol=1e-12)
+
+    def test_autoencoder_loss_decreases_and_structure(self, spark):
+        # reference's second embedding method (autoencoder.py:1-56):
+        # reconstruction MSE must fall and planted two-cluster feature
+        # structure must survive the bottleneck.
+        from hex2vec_spark.operators.embed import autoencoder_fit
+
+        rng = np.random.default_rng(2)
+        D = 12
+        a = rng.standard_normal(D) * 3
+        b = rng.standard_normal(D) * 3
+        rows = []
+        for i in range(40):
+            base = a if i < 20 else b
+            rows.append((i, (base + rng.standard_normal(D) * 0.1).tolist()))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["h3", "features"]))
+        emb, losses = autoencoder_fit(df, sizes=[D, 3], n_iter=60, lr=0.05, seed=4)
+        assert len(losses) == 60 and losses[-1] < 0.5 * losses[0]
+        Z = {r["id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+        assert len(Z) == 40 and all(len(v) == 3 for v in Z.values())
+        A = np.stack([Z[i] for i in range(20)])
+        B = np.stack([Z[i] for i in range(20, 40)])
+        within = max(np.linalg.norm(A - A.mean(0), axis=1).mean(),
+                     np.linalg.norm(B - B.mean(0), axis=1).mean())
+        between = np.linalg.norm(A.mean(0) - B.mean(0))
+        assert between > 3 * within
+
+    def test_autoencoder_relu_hidden_and_deterministic(self, spark):
+        from hex2vec_spark.operators.embed import autoencoder_fit
+
+        rng = np.random.default_rng(9)
+        rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["h3", "features"])
+        ).repartition(4)
+        emb1, l1 = autoencoder_fit(df, sizes=[8, 6, 2], n_iter=8, lr=1e-2, seed=3)
+        emb2, l2 = autoencoder_fit(df, sizes=[8, 6, 2], n_iter=8, lr=1e-2, seed=3)
+        assert l1 == l2
+        z1 = {r["id"]: tuple(r["embedding"]) for r in emb1.collect()}
+        z2 = {r["id"]: tuple(r["embedding"]) for r in emb2.collect()}
+        assert z1 == z2
+        assert all(len(v) == 2 for v in z1.values())
+        assert l1[-1] < l1[0]
+
     def test_null_and_empty_negatives_ok(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame(
