@@ -557,7 +557,11 @@ def _lattice_candidates(
     R_b = STRAY_RAD + _CIRC_RAD[res] + pad_rad + 0.02
     reach = box_rad + pad_rad + _CIRC_RAD[res] + STRAY_RAD + 0.03
     cosd = cxyz @ ic.BC_CENTER.T  # (P, 122)
-    p_i, bc_i = np.nonzero(cosd >= np.cos(reach)[:, None])
+    # clamp: reach is an ANGULAR radius — beyond pi it means "the whole
+    # sphere", but cos() wraps UPWARD past pi and would silently
+    # EXCLUDE the far base cells (advisor repro: near-global bbox at
+    # res 0 returned 62 of 122 cells). cos(pi) = -1 keeps every cell.
+    p_i, bc_i = np.nonzero(cosd >= np.cos(np.minimum(reach, np.pi))[:, None])
     if p_i.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     n_pairs = len(p_i)

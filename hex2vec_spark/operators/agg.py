@@ -118,7 +118,7 @@ def hex_features(
     groupby('h3').sum() (make_dataset.py:143-172)."""
     tags = explode_caption_tags(assignments)
     fn = salted_count if salted else plain_count
-    return fn(tags, ["h3", "feature"]) if salted else plain_count(tags, ["h3", "feature"])
+    return fn(tags, ["h3", "feature"])
 
 
 def pivot_wide(features: DataFrame, vocab: list[str]) -> DataFrame:

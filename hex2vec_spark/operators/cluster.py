@@ -151,7 +151,14 @@ def ward_linkage(X: np.ndarray) -> np.ndarray:
     n = len(X)
     if n < 2:
         return np.zeros((0, 4))
-    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    # pairwise squared distances via the gram identity: peak memory is
+    # the (n, n) matrix itself. The broadcast form
+    # ((X[:,None,:]-X[None,:,:])**2).sum(2) allocates an (n, n, dim)
+    # intermediate — ~51 GB at the advertised max_rows=20000/dim=16,
+    # OOMing far below the documented cap (round-3 advisor fix).
+    nrm = (X * X).sum(axis=1)
+    sq = nrm[:, None] + nrm[None, :] - 2.0 * (X @ X.T)
+    np.maximum(sq, 0.0, out=sq)  # FP cancellation can dip below zero
     np.fill_diagonal(sq, np.inf)
     size = np.ones(n)
     active = np.ones(n, dtype=bool)

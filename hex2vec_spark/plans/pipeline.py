@@ -93,6 +93,13 @@ def build_dataset(
     # stale high-numbered dirs when n_buckets shrank between runs
     tags = explode_caption_tags(read_stage(spark, assign_path, n_buckets=n_buckets))
     keys = ["region_id", "h3", "feature"]
+    # adaptive_salt is SAFE here (round-2 verdict follow-up): the
+    # heavy-hitter sample re-executes tags' lineage, but that lineage is
+    # a COMMITTED parquet stage (read_stage) + a cheap explode — ~2
+    # extra column-pruned scans of the assign stage, never the raw
+    # decode pipeline. The adaptive_salted_count docstring's warning is
+    # about derived lineages over expensive sources (e.g. the synth
+    # generator); committed-stage reads are the intended usage.
     feats = (
         adaptive_salted_count(tags, keys, salt_src="image_id")
         if adaptive_salt

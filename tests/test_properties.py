@@ -203,3 +203,13 @@ class TestCoarseResolutionCover:
         assert len(c) > 0
         verts = h3core.cell_boundary(h3core.cells_covering_bbox(la, ln, 1, 1.0))
         assert verts.shape[1:] == (6, 2) and np.isfinite(verts).all()
+
+    def test_near_global_bbox_cover_reaches_all_base_cells(self):
+        # round-3 advisor fix: the in-reach test used cos(reach) without
+        # clamping; for a near-global bbox reach exceeds pi and cos
+        # wraps UPWARD, silently excluding far base cells (62 of 122
+        # returned). cos(min(reach, pi)) = -1 keeps every cell.
+        la = np.array([-89.0, 89.0])
+        ln = np.array([-179.9, 179.9])
+        cand = h3core.cells_covering_bbox(la, ln, 0, pad_cells=1.0)
+        assert len(np.unique(cand)) == 122
