@@ -709,6 +709,136 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    # ASOF LEFT JOIN (operators/asof): every click gets the user's most
+    # recent prior purchase; union-timeline window, ONE shuffle, no
+    # inequality-join explosion. Oracle: DuckDB's native ASOF JOIN.
+    # Right side deduped per (user, ts) so the tie choice is
+    # deterministic on both engines; timestamps compared as epoch
+    # microseconds (exact).
+    from hex2vec_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, by="user_id", right_payload=["value"])
+    return out.select(
+        "event_id",
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # value-identity and unix_micros compares exactly vs epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+        F.col("asof_value").alias("last_purchase"),
+    )
+
+
+def _q_moving_avg(spark, sf_dir):
+    # W: sliding-frame window aggregate (ROWS BETWEEN 3 PRECEDING)
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg4"))
+
+
+def _q_cumsum_running(spark, sf_dir):
+    # W: running total; value cast to DECIMAL so the cumulative sum is
+    # EXACT on both engines (float accumulation order would differ)
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        # decimal accumulation is exact; render as double for the
+        # cross-engine compare (DuckDB's df() yields float64)
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("run_total"),
+    )
+
+
+def _q_lag_delta(spark, sf_dir):
+    # W: lag(1) per-user deltas
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+def _q_dense_rank_filter(spark, sf_dir):
+    # W: dense_rank with a rank predicate (top-5 values per event type)
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.select("event_type", "event_id", F.dense_rank().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+def _q_rollup_counts(spark, sf_dir):
+    # A: ROLLUP hierarchy totals (sibling of cube_counts)
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def _q_unpivot_long(spark, sf_dir):
+    # P: wide -> long melt via the native unpivot operator
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(["o_orderkey"], ["totalprice", "custkey"], "metric", "val")
+
+
+def _q_levenshtein_pairs(spark, sf_dir):
+    # F1/dedup-family: edit distance over document-prefix pairs
+    d = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 15)
+        .select("doc_id", F.substring("text", 1, 40).alias("s"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).alias("edit_dist"),
+        )
+    )
+
+
+def _q_percentile_groups(spark, sf_dir):
+    # A/F4: exact interpolated percentiles per group (Spark percentile
+    # == DuckDB quantile_cont: both linear interpolation at p*(n-1))
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q75"),
+    )
+
+
 # ---- image/H3 pipeline queries (not SQL-expressible -> rows-only checks;
 # ---- exact pandas-oracle equivalence lives in tests/test_pipeline.py)
 
@@ -1259,6 +1389,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
+        "asof_join": _q_asof_join,
+        "moving_avg": _q_moving_avg,
+        "cumsum_running": _q_cumsum_running,
+        "lag_delta": _q_lag_delta,
+        "dense_rank_filter": _q_dense_rank_filter,
+        "rollup_counts": _q_rollup_counts,
+        "unpivot_long": _q_unpivot_long,
+        "levenshtein_pairs": _q_levenshtein_pairs,
+        "percentile_groups": _q_percentile_groups,
         "tfidf": _q_tfidf,
         "standardize": _q_standardize,
         "minmax_scale": _q_minmax_scale,
@@ -1549,6 +1688,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
                    event_type, COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT l.event_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS asof_ts_us,
+                   r.value AS last_purchase
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "moving_avg": """
+            SELECT event_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg4
+            FROM events
+        """,
+        "cumsum_running": """
+            SELECT event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS run_total
+            FROM events
+        """,
+        "lag_delta": """
+            SELECT event_id,
+                   ROUND(value - LAG(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+            FROM events
+        """,
+        "dense_rank_filter": """
+            SELECT event_type, event_id, rk FROM (
+                SELECT event_type, event_id,
+                       DENSE_RANK() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id) AS rk
+                FROM events)
+            WHERE rk <= 5
+        """,
+        "rollup_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "unpivot_long": """
+            SELECT o_orderkey, metric, val FROM (
+                UNPIVOT (SELECT o_orderkey,
+                                CAST(o_totalprice AS DOUBLE) AS totalprice,
+                                CAST(o_custkey AS DOUBLE) AS custkey
+                         FROM orders)
+                ON totalprice, custkey INTO NAME metric VALUE val)
+        """,
+        "levenshtein_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE a.doc_id < 15 AND b.doc_id < 15
+        """,
+        "percentile_groups": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS q25,
+                   ROUND(quantile_cont(value, 0.5),  4) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS q75
+            FROM events GROUP BY event_type
         """,
         "tpch_q6": """
             SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

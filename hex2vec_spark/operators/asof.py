@@ -1,0 +1,85 @@
+"""As-of (most-recent-prior) join — a core time-series operator Spark
+has no built-in for (graft axis: the temporal side of the events table;
+the reference engine's pipelines are batch-spatial, so this is an
+engine-native addition per the build brief's custom-operator list).
+
+Semantics: for every left row, attach the right row with the LARGEST
+right_time <= left_time within the same ``by`` key (DuckDB/kdb ASOF
+LEFT JOIN). Left rows with no prior right row keep NULLs.
+
+Physical strategy — the union-timeline trick, NOT an inequality join:
+
+    tag left rows side=1, right rows side=0
+    union -> ONE shuffle on the `by` key
+    window partitionBy(by) orderBy(time, side)
+    carry = last(right payload struct, ignorenulls=True) over
+            rowsBetween(unboundedPreceding, currentRow)
+    keep side=1 rows
+
+An inequality-join formulation (l.t >= r.t) explodes to O(|L| x |R|)
+per key before aggregation and cannot broadcast at scale; the union
+trick is O((|L|+|R|) log) for the sort with exactly one shuffle, and
+AQE handles skewed keys like any other window. At 10^12 rows the sort
+is the same per-partition sort every window query pays — this is the
+scale-correct shape.
+
+Tie rule: a right row at EXACTLY left_time qualifies (<=), hence right
+sorts before left at equal times (side 0 < 1). Duplicate right rows at
+the same (key, time) are resolved by last-in-sort-order — pass a
+deduplicated right side (e.g. groupBy(key, time).agg(...)) when the
+choice must be deterministic, as the oracle query does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """ASOF LEFT JOIN: left rows + most-recent-prior right payload.
+
+    Output columns: all of ``left``'s, plus ``{prefix}{right_time}``
+    (the matched right timestamp) and ``{prefix}{c}`` for each payload
+    column (NULL when no prior right row exists).
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (by, right_time)]
+
+    pay_struct = F.struct(
+        F.col(right_time).alias(f"{prefix}{right_time}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+    )
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        pay_struct.alias("_asof_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != by],
+    )
+    l = left.select(
+        F.col(by),
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(r.schema["_asof_pay"].dataType).alias("_asof_pay"),
+        *[c for c in left.columns if c != by],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_asof_hit", F.last("_asof_pay", ignorenulls=True).over(w))
+    out_cols = list(left.columns) + [
+        F.col(f"_asof_hit.{prefix}{right_time}").alias(f"{prefix}{right_time}")
+    ] + [F.col(f"_asof_hit.{prefix}{c}").alias(f"{prefix}{c}") for c in right_payload]
+    return carried.where(F.col("_asof_side") == 1).select(*out_cols)

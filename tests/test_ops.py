@@ -658,7 +658,43 @@ class TestMultimodal:
         assert abs(float(np.sqrt(np.mean(y8**2))) - np.sqrt(0.5)) < 0.02
 
 
-class TestSessionize:
+class TestAsofJoin:
+    def test_semantics_pinned(self, spark):
+        # ASOF LEFT JOIN edge cases: equal-timestamp right row QUALIFIES
+        # (<=), left rows before any right get NULLs, carry-forward
+        # spans gaps, keys never mix.
+        from hex2vec_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", 5), (2, "u", 10), (3, "u", 20), (4, "v", 7), (5, "w", 9)],
+            "id long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("u", 10, 100.0), ("u", 15, 150.0), ("v", 1, 11.0), ("v", 6, 66.0)],
+            "k string, ts long, price double",
+        )
+        out = {r["id"]: (r["asof_ts"], r["asof_price"]) for r in asof_join(
+            left, right, by="k", left_time="ts", right_time="ts",
+            right_payload=["price"],
+        ).collect()}
+        assert out[1] == (None, None)          # before any right row
+        assert out[2] == (10, 100.0)           # equal ts qualifies
+        assert out[3] == (15, 150.0)           # latest prior, not first
+        assert out[4] == (6, 66.0)             # per-key isolation
+        assert out[5] == (None, None)          # key with no right rows
+
+    def test_one_shuffle_no_join_explosion(self, spark):
+        # plan shape: union + window — no Join node at all, exactly one
+        # Exchange below the window (the scale argument for the
+        # union-timeline construction)
+        from hex2vec_spark.operators.asof import asof_join
+
+        left = spark.range(100).selectExpr("id", "id % 5 as k", "id as ts")
+        right = spark.range(50).selectExpr("id % 5 as k", "id as ts", "id * 1.0 as v")
+        out = asof_join(left, right, by="k", right_payload=["v"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1
     def test_streaming_sessions_match_batch_closed_set(self, spark, tmp_path):
         # append-mode streaming sessionization emits exactly the sessions
         # the final watermark closed, and each matches the batch result
