@@ -1300,6 +1300,49 @@ def _q_autoencoder_embed(spark, sf_dir):
     return out.select("id", F.size("embedding").alias("dim"))
 
 
+def _q_combined_embed(spark, sf_dir):
+    # the reference's HEADLINE model (combined.py:7-74): shared MLP
+    # encoder over per-hex feature vectors, skip-gram BCE + decoder
+    # reconstruction. Rows-only (iterative); gradcheck vs a numeric
+    # oracle + structure tests in tests/test_embed.py.
+    from hex2vec_spark.operators.agg import hex_features, pivot_wide
+    from hex2vec_spark.operators.embed import combined_fit, encode_features
+    from hex2vec_spark.operators.neighbors import context_pairs, sample_negatives
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    joined = spatial_join(_images(spark, 1000), _tiling_sdf(spark), res=ENTRY_RES)
+    narrow = hex_features(joined)
+    vocab = [
+        r["feature"]
+        for r in narrow.groupBy("feature").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "feature").limit(8).collect()
+    ]
+    wide = pivot_wide(narrow, vocab)
+    feats = wide.select(
+        "h3", F.array(*[F.col(c).cast("double") for c in vocab]).alias("features")
+    ).localCheckpoint(eager=False)
+
+    corpus = feats.select("h3").localCheckpoint(eager=False)
+    pairs = context_pairs(corpus, k=1, materialize=False)
+    negs = (
+        sample_negatives(corpus, n_per_input=1, k_excl=2, materialize=False)
+        .groupBy("input_h3").agg(F.min("neg_h3").alias("neg_h3"))
+    )
+    ft = feats.select(F.col("h3").alias("input_h3"), F.col("features").alias("xt"))
+    fc = feats.select(F.col("h3").alias("context_h3"), F.col("features").alias("xc"))
+    fn = feats.select(F.col("h3").alias("neg_h3"), F.col("features").alias("xn"))
+    triples = (
+        pairs.join(ft, "input_h3").join(fc, "context_h3")
+        .join(negs, "input_h3", "left").join(fn, "neg_h3", "left")
+        .select("xt", "xc", "xn")
+    )
+    model, _losses = combined_fit(triples, [len(vocab), 4], n_iter=2, lr=1e-2, seed=7)
+    out = encode_features(feats, model)
+    return out.select(
+        F.col("id").alias("h3"), F.size("embedding").alias("dim")
+    )
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1434,6 +1477,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "skipgram_embed": _q_skipgram_embed,
         "autoencoder_embed": _q_autoencoder_embed,
+        "combined_embed": _q_combined_embed,
     }
 
 

@@ -350,6 +350,232 @@ def autoencoder_fit(
     return emb, losses
 
 
+def _stack_fwd(X: np.ndarray, ws: list, bs: list) -> list:
+    """Forward through a Linear(+ReLU after all but the last layer)
+    stack — the reference's create_layers shape (combined.py:11-19,
+    autoencoder.py:13-19). Returns the activation list [X, a1, ...]."""
+    acts = [X]
+    h = X
+    for li in range(len(ws)):
+        z = h @ ws[li] + bs[li]
+        if li != len(ws) - 1:
+            z = np.maximum(z, 0.0)
+        acts.append(z)
+        h = z
+    return acts
+
+
+def _stack_bwd(delta: np.ndarray, acts: list, ws: list, gw: list, gb: list) -> np.ndarray:
+    """Backprop dL/d(stack output) through the stack; accumulates
+    parameter grads into gw/gb and returns dL/d(stack input)."""
+    for li in range(len(ws) - 1, -1, -1):
+        if li != len(ws) - 1:
+            delta = delta * (acts[li + 1] > 0.0)
+        gw[li] += acts[li].T @ delta
+        gb[li] += delta.sum(axis=0)
+        delta = delta @ ws[li].T
+    return delta
+
+
+def combined_fit(
+    triples: DataFrame,
+    encoder_sizes: list[int],
+    n_iter: int = 30,
+    lr: float = 1e-3,
+    seed: int = 23,
+    xt_col: str = "xt",
+    xc_col: str = "xc",
+    xn_col: str = "xn",
+    recon: bool = True,
+) -> tuple[dict, list[dict]]:
+    """The reference's HEADLINE model — Combined (src/models/
+    combined.py:7-74): a shared MLP encoder over per-hex FEATURE
+    VECTORS trained with the skip-gram contrastive objective
+    (dot-product scores, BCE-with-logits on positive/negative pairs)
+    PLUS a mirrored decoder with MSE reconstruction;
+    loss = (BCE_pos + BCE_neg)/2 + (MSE_t + MSE_c + MSE_n)/3,
+    Adam(1e-3). ``recon=False`` drops the decoder and reconstruction
+    term entirely — exactly BinaryNN (binary_nn.py:10-30), the
+    reference's third model.
+
+    Input: triples (xt, xc, xn) of feature vectors — xt/xc the
+    neighbor pair, xn a sampled negative (nullable: rows whose
+    exclusion ring ate all candidates contribute only the positive and
+    reconstruction terms, mirroring H3NeighborDataset's behavior).
+
+    Distribution shape: identical to skipgram_fit/autoencoder_fit —
+    weights broadcast per iteration, per-partition dense parameter
+    grads via mapInPandas over the three shared-encoder streams,
+    cluster-side combine (_reduce_partials: one driver row per
+    parameter tensor), driver-side deterministic Adam. The triple
+    table never shuffles.
+
+    Returns (model dict {enc_w, enc_b, dec_w, dec_b, sizes}, per-iter
+    loss dicts {loss, pred, recon}). Encode any features table with
+    :func:`encode_features`.
+    """
+    spark = triples.sparkSession
+    enc_shapes = list(zip(encoder_sizes[:-1], encoder_sizes[1:]))
+    dec_shapes = [(o, i) for i, o in enc_shapes][::-1] if recon else []
+    rng = np.random.default_rng(seed)
+    ew = [rng.standard_normal((i, o)) / np.sqrt(i) for i, o in enc_shapes]
+    eb = [np.zeros(o) for _, o in enc_shapes]
+    dw = [rng.standard_normal((i, o)) / np.sqrt(i) for i, o in dec_shapes]
+    db = [np.zeros(o) for _, o in dec_shapes]
+    Le, Ld = len(ew), len(dw)
+    D = encoder_sizes[0]
+
+    src = triples.select(
+        F.col(xt_col).cast("array<double>").alias("xt"),
+        F.col(xc_col).cast("array<double>").alias("xc"),
+        F.col(xn_col).cast("array<double>").alias("xn"),
+    ).localCheckpoint(eager=True)  # scanned n_iter times
+    n_pos = src.count()
+    n_neg = src.where(F.col("xn").isNotNull()).count()
+    if n_pos == 0:
+        return {"enc_w": ew, "enc_b": eb, "dec_w": dw, "dec_b": db,
+                "sizes": encoder_sizes}, []
+
+    # m-slot layout for _reduce_partials: enc W | enc b | dec W | dec b | loss
+    def slots():
+        return ([np.zeros_like(w) for w in ew], [np.zeros_like(b) for b in eb],
+                [np.zeros_like(w) for w in dw], [np.zeros_like(b) for b in db])
+
+    params = [*ew, *eb, *dw, *db]
+    adam_m = [np.zeros_like(p) for p in params]
+    adam_v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    losses: list[dict] = []
+    LOSS_M = 2 * (Le + Ld)
+    for it in range(n_iter):
+        bw = spark.sparkContext.broadcast((ew, eb, dw, db))
+
+        def grad_part(batches):
+            ews, ebs, dws, dbs = bw.value
+            gew, geb, gdw, gdb = slots()
+            bce_pos = bce_neg = sse_t = sse_c = sse_n = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Xt = np.stack(pdf["xt"].to_numpy())
+                Xc = np.stack(pdf["xc"].to_numpy())
+                has_n = pdf["xn"].notna().to_numpy()
+                at = _stack_fwd(Xt, ews, ebs)
+                ac = _stack_fwd(Xc, ews, ebs)
+                zt, zc = at[-1], ac[-1]
+                s_pos = (zt * zc).sum(axis=1)
+                sp = _sigmoid(s_pos)
+                bce_pos += float(-np.log(np.maximum(sp, 1e-12)).sum())
+                # d(sum BCE_pos)/ds scaled by the GLOBAL mean factors
+                g_spos = (sp - 1.0) / (2.0 * n_pos)
+                # decoder/reconstruction paths (sum-of-squares form,
+                # scaled to torch mse_loss mean-over-elements); skipped
+                # wholesale in BinaryNN mode
+                if dws:
+                    ht = _stack_fwd(zt, dws, dbs)
+                    hc = _stack_fwd(zc, dws, dbs)
+                    dt = ht[-1] - Xt
+                    dc = hc[-1] - Xc
+                    sse_t += float((dt * dt).sum())
+                    sse_c += float((dc * dc).sum())
+                    d_zt = _stack_bwd(2.0 * dt / (3.0 * n_pos * D), ht, dws, gdw, gdb)
+                    d_zc = _stack_bwd(2.0 * dc / (3.0 * n_pos * D), hc, dws, gdw, gdb)
+                else:
+                    d_zt = np.zeros_like(zt)
+                    d_zc = np.zeros_like(zc)
+                d_zt = d_zt + g_spos[:, None] * zc
+                d_zc = d_zc + g_spos[:, None] * zt
+                if has_n.any():
+                    Xn = np.stack(pdf["xn"][has_n].to_numpy())
+                    an = _stack_fwd(Xn, ews, ebs)
+                    zn = an[-1]
+                    s_neg = (zt[has_n] * zn).sum(axis=1)
+                    sn = _sigmoid(s_neg)
+                    bce_neg += float(-np.log(np.maximum(1.0 - sn, 1e-12)).sum())
+                    g_sneg = sn / (2.0 * max(n_neg, 1))
+                    if dws:
+                        hn = _stack_fwd(zn, dws, dbs)
+                        dn = hn[-1] - Xn
+                        sse_n += float((dn * dn).sum())
+                        d_zn = _stack_bwd(
+                            2.0 * dn / (3.0 * max(n_neg, 1) * D), hn, dws, gdw, gdb
+                        )
+                    else:
+                        d_zn = np.zeros_like(zn)
+                    d_zn = d_zn + g_sneg[:, None] * zt[has_n]
+                    d_zt[has_n] += g_sneg[:, None] * zn
+                    _stack_bwd(d_zn, an, ews, gew, geb)
+                _stack_bwd(d_zt, at, ews, gew, geb)
+                _stack_bwd(d_zc, ac, ews, gew, geb)
+            rows = []
+            for li in range(Le):
+                rows.append({"m": li, "i": 0, "g": gew[li].ravel().tolist()})
+                rows.append({"m": Le + li, "i": 0, "g": geb[li].tolist()})
+            for li in range(Ld):
+                rows.append({"m": 2 * Le + li, "i": 0, "g": gdw[li].ravel().tolist()})
+                rows.append({"m": 2 * Le + Ld + li, "i": 0, "g": gdb[li].tolist()})
+            rows.append({"m": LOSS_M, "i": 0,
+                         "g": [bce_pos, bce_neg, sse_t, sse_c, sse_n]})
+            yield pd.DataFrame(rows, columns=["m", "i", "g"])
+
+        parts = _reduce_partials(
+            src.mapInPandas(grad_part, "m int, i long, g array<double>")
+        ).collect()
+        grads = {r["m"]: np.asarray(r["g"]) for r in parts}
+        lv = grads[LOSS_M]
+        pred = lv[0] / n_pos / 2.0 + (lv[1] / max(n_neg, 1) / 2.0 if n_neg else 0.0)
+        rec = (
+            (lv[2] + lv[3]) / (3.0 * n_pos * D)
+            + (lv[4] / (3.0 * n_neg * D) if n_neg else 0.0)
+        ) if Ld else 0.0
+        losses.append({"loss": pred + rec, "pred": pred, "recon": rec})
+        t = it + 1
+        # match the params/adam slot ORDER (ew*, eb*, dw*, db*)
+        ordered = (
+            [(ew[li], grads[li].reshape(ew[li].shape)) for li in range(Le)]
+            + [(eb[li], grads[Le + li]) for li in range(Le)]
+            + [(dw[li], grads[2 * Le + li].reshape(dw[li].shape)) for li in range(Ld)]
+            + [(db[li], grads[2 * Le + Ld + li]) for li in range(Ld)]
+        )
+        for slot, (param, g) in enumerate(ordered):
+            adam_m[slot] = b1 * adam_m[slot] + (1 - b1) * g
+            adam_v[slot] = b2 * adam_v[slot] + (1 - b2) * g * g
+            mh = adam_m[slot] / (1 - b1 ** t)
+            vh = adam_v[slot] / (1 - b2 ** t)
+            param -= lr * mh / (np.sqrt(vh) + eps)
+        bw.destroy()
+    return {"enc_w": ew, "enc_b": eb, "dec_w": dw, "dec_b": db,
+            "sizes": encoder_sizes}, losses
+
+
+def encode_features(
+    feats: DataFrame,
+    model: dict,
+    id_col: str = "h3",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Encode a features table through a trained Combined/BinaryNN
+    encoder (broadcast weights, one mapInPandas pass) -> (id,
+    embedding)."""
+    spark = feats.sparkSession
+    bw = spark.sparkContext.broadcast((model["enc_w"], model["enc_b"]))
+    src = feats.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("x")
+    )
+
+    def enc_part(batches):
+        ws, bs = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = _stack_fwd(np.stack(pdf["x"].to_numpy()), ws, bs)[-1]
+            yield pd.DataFrame({"id": pdf["id"], "embedding": [r.tolist() for r in h]})
+
+    return src.mapInPandas(
+        enc_part, f"id {src.schema['id'].dataType.simpleString()}, embedding array<double>"
+    )
+
+
 def embeddings_table(
     spark: SparkSession, vocab: np.ndarray, w: np.ndarray, h3_col: str = "h3"
 ) -> DataFrame:

@@ -123,6 +123,109 @@ class TestSkipgram:
         assert all(len(v) == 2 for v in z1.values())
         assert l1[-1] < l1[0]
 
+    def test_combined_gradcheck_sign(self, spark):
+        # Adam's first step is -lr * g/(|g|+eps) ~ -lr * sign(g), so a
+        # 1-iteration run exposes the analytic gradient's SIGN per
+        # parameter. Compare against numeric differentiation of a
+        # test-local replica of the Combined loss — pins the hand-rolled
+        # backprop through both coder halves and all three streams.
+        from hex2vec_spark.operators.embed import combined_fit
+
+        rng = np.random.default_rng(6)
+        D, d, n = 5, 3, 8
+        xt = rng.standard_normal((n, D))
+        xc = rng.standard_normal((n, D))
+        xn = rng.standard_normal((n, D))
+        pdf = pd.DataFrame({
+            "xt": [r.tolist() for r in xt],
+            "xc": [r.tolist() for r in xc],
+            "xn": [r.tolist() for r in xn],
+        })
+        df = spark.createDataFrame(pdf)
+        seed, lr = 31, 1e-4
+        model, losses = combined_fit(df, [D, d], n_iter=1, lr=lr, seed=seed)
+
+        # reconstruct the init exactly (same rng consumption order)
+        r2 = np.random.default_rng(seed)
+        ew0 = [r2.standard_normal((D, d)) / np.sqrt(D)]
+        dw0 = [r2.standard_normal((d, D)) / np.sqrt(d)]
+        eb0, db0 = [np.zeros(d)], [np.zeros(D)]
+
+        def sig(x):
+            return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+        def loss_of(ew, eb, dw, db):
+            zt, zc, zn = xt @ ew + eb, xc @ ew + eb, xn @ ew + eb
+            sp, sn = (zt * zc).sum(1), (zt * zn).sum(1)
+            pred = (-np.log(np.maximum(sig(sp), 1e-12)).mean()
+                    - np.log(np.maximum(1 - sig(sn), 1e-12)).mean()) / 2
+            rec = sum(((z @ dw + db - x) ** 2).mean()
+                      for z, x in ((zt, xt), (zc, xc), (zn, xn))) / 3
+            return pred + rec
+
+        assert abs(losses[0]["loss"] - loss_of(ew0[0], eb0[0], dw0[0], db0[0])) < 1e-9
+        h = 1e-6
+        checked = 0
+        for name, p0, p1 in (
+            ("enc_w", ew0[0], model["enc_w"][0]),
+            ("dec_w", dw0[0], model["dec_w"][0]),
+            ("enc_b", eb0[0], model["enc_b"][0]),
+            ("dec_b", db0[0], model["dec_b"][0]),
+        ):
+            it = np.nditer(p0, flags=["multi_index"])
+            for _ in it:
+                ix = it.multi_index
+                orig = p0[ix]
+                p0[ix] = orig + h
+                lp = loss_of(ew0[0], eb0[0], dw0[0], db0[0])
+                p0[ix] = orig - h
+                lm = loss_of(ew0[0], eb0[0], dw0[0], db0[0])
+                p0[ix] = orig
+                g = (lp - lm) / (2 * h)
+                if abs(g) < 1e-6:
+                    continue  # sign unreliable near zero
+                step = p1[ix] - orig
+                assert np.sign(step) == -np.sign(g), (name, ix, g, step)
+                checked += 1
+        assert checked > 20
+
+    def test_combined_structure_and_binarynn_mode(self, spark):
+        # planted structure: pos pairs share a cluster, negatives come
+        # from the other cluster; trained encodings must score
+        # in-cluster pairs above cross-cluster ones. BinaryNN mode
+        # (recon=False) must also train and ship no decoder.
+        from hex2vec_spark.operators.embed import combined_fit, encode_features
+
+        rng = np.random.default_rng(3)
+        D = 10
+        ca, cb = rng.standard_normal(D) * 2, rng.standard_normal(D) * 2
+        feats, rows = {}, []
+        for i in range(24):
+            feats[i] = (ca if i < 12 else cb) + rng.standard_normal(D) * 0.1
+        for grp, other in ((range(0, 12), range(12, 24)), (range(12, 24), range(0, 12))):
+            g, o = list(grp), list(other)
+            for i in g:
+                j = g[(g.index(i) + 1) % len(g)]
+                rows.append((feats[i].tolist(), feats[j].tolist(),
+                             feats[o[i % len(o)]].tolist()))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["xt", "xc", "xn"]))
+        model, losses = combined_fit(df, [D, 4], n_iter=40, lr=0.02, seed=5)
+        assert losses[-1]["loss"] < losses[0]["loss"]
+        fdf = spark.createDataFrame(
+            pd.DataFrame({"h3": list(feats), "features": [v.tolist() for v in feats.values()]})
+        )
+        Z = {r["id"]: np.asarray(r["embedding"])
+             for r in encode_features(fdf, model).collect()}
+        ina = np.mean([Z[i] @ Z[(i + 1) % 12] for i in range(12)])
+        cross = np.mean([Z[i] @ Z[12 + i] for i in range(12)])
+        assert ina > cross
+        # BinaryNN: no decoder, pred-only loss falls, deterministic
+        m1, l1 = combined_fit(df, [D, 4], n_iter=6, lr=0.02, seed=9, recon=False)
+        m2, l2 = combined_fit(df, [D, 4], n_iter=6, lr=0.02, seed=9, recon=False)
+        assert m1["dec_w"] == [] and all(s["recon"] == 0.0 for s in l1)
+        assert l1[-1]["pred"] < l1[0]["pred"]
+        assert l1 == l2
+
     def test_null_and_empty_negatives_ok(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame(

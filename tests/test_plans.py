@@ -54,6 +54,25 @@ class TestJoinPlans:
         # executed plan's treeString; the encode chain must sit inside one
         assert "isFinalPlan=true" in final and "*(" in final
 
+    def test_encode_chain_operator_budget(self, spark):
+        # round-3 JIT guard: every alias rank of the encode chain is one
+        # Project operator inside the downstream fused codegen stage;
+        # past ~25 operators the stage's generated aggregate method
+        # crosses HotSpot's 8,000-byte JIT limit and the WHOLE stage
+        # runs interpreted (measured 3.4 s -> 9.6 s flagship). Budget:
+        # 2 per aperture-7 level + prologue/axial/fence/prune <= 2res+6.
+        import hex2vec_spark.functions.h3_expr as hx
+        from hex2vec_spark.functions.h3_fns import DEFAULT_BBOX
+
+        df = spark.createDataFrame([(1,)], "phash long")
+        for res in (8, 9, 10):
+            out = hx.attach_h3_from_phash_jvm(df, res, DEFAULT_BBOX)
+            opt = out._jdf.queryExecution().optimizedPlan().toString()
+            n_proj = sum(
+                1 for l in opt.splitlines() if l.lstrip("+-: ").startswith("Project")
+            )
+            assert n_proj <= 2 * res + 6, (res, n_proj)
+
     def test_h3_udf_evaluated_once(self, spark):
         # Arrow fallback (jvm="off"): a nullable Python-UDF join key
         # makes Catalyst extract the UDF twice (IsNotNull filter + key
