@@ -1260,6 +1260,38 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _q_keep_canonical_graph(spark, sf_dir):
+    # keep-canonical dedup application, ORACLED (round 3): same
+    # deterministic chain edges as `dedup_components`; keep exactly the
+    # rows whose id is its component's minimum. The MinHash-fed variant
+    # stays rows-only as `dedup_keep_canonical`.
+    from hex2vec_spark.operators.components import keep_canonical
+
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a, b = o.alias("a"), o.alias("b")
+    edges = (
+        a.join(b, F.col("b.o_orderkey") == F.col("a.o_orderkey") + 32)
+        .where(F.expr("(a.o_orderkey div 32) % 4 < 3"))
+        .select(F.col("a.o_orderkey").alias("id_a"), F.col("b.o_orderkey").alias("id_b"))
+    )
+    return keep_canonical(o, edges, "o_orderkey").select("o_orderkey", "o_totalprice")
+
+
+def _q_knn_ivf_exact(spark, sf_dir):
+    # IVF with n_probe == n_lists scans every list -> EXACT top-k; the
+    # driver hash-matches it against the brute-force SQL oracle, pinning
+    # the recall-1 configuration of the ANN scale path end-to-end
+    from hex2vec_spark.operators.knn import cosine_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = cosine_topk_ivf(
+        emb.where(F.col("vec_id") != 0), query, k=10, n_lists=8, n_probe=8
+    )
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
 def _q_skipgram_embed(spark, sf_dir):
     # the "2vec" trainer (reference combined.py:1-74) over the engine's
     # own neighbor dataset; rows-only (iterative, not SQL-expressible) —
@@ -1478,6 +1510,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_embed": _q_skipgram_embed,
         "autoencoder_embed": _q_autoencoder_embed,
         "combined_embed": _q_combined_embed,
+        "keep_canonical_graph": _q_keep_canonical_graph,
+        "knn_ivf_exact": _q_knn_ivf_exact,
     }
 
 
@@ -2013,6 +2047,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r
             )
             SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "keep_canonical_graph": """
+            WITH RECURSIVE e AS (
+                SELECT a.o_orderkey AS u, b.o_orderkey AS v
+                FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 32
+                WHERE (a.o_orderkey // 32) % 4 < 3
+            ), und AS (
+                SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM und
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r
+            ), losers AS (
+                SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+                WHERE id <> component
+            )
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT id FROM losers)
+        """,
+        "knn_ivf_exact": """
+            SELECT vec_id, ROUND(raw_sim, 4) AS sim FROM (
+                SELECT vec_id, list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS raw_sim
+                FROM embeddings WHERE vec_id <> 0
+            ) ORDER BY raw_sim DESC, vec_id LIMIT 10
         """,
         "phash_band_pairs": """
             WITH img AS (

@@ -18,14 +18,18 @@ efficiency local[8]->local[32]; the JVM expression removes the Python
 side entirely, which is what the north_rule's >=0.8 two-cluster-size
 scaling criterion needs.
 
-Structure note: the digit chain is emitted as one ``select`` PER
-RESOLUTION STEP, each step reading the previous step's *attributes*.
-Column objects share subtrees as a Python DAG, but converting to Catalyst
-serializes a TREE — inlining 9 chained axial-rounds into one Column
-multiplies subtree copies ~8x per level (~8^9 nodes: measured
-driver OOM). Per-level projections keep the total plan linear in res;
+Structure note (round 3): the whole chain is ONE ``selectExpr`` whose
+intermediates are LATERAL COLUMN ALIASES; the analyzer rewrites them
+into nested Projects where every multiply-referenced step stays an
+attribute (inlining 9 chained axial-rounds into one expression would
+multiply subtree copies ~8x per level — ~8^9 nodes, measured driver
+OOM in round 1). Per-level alias ranks keep the plan linear in res;
 Catalyst's CollapseProject keeps multi-referenced non-cheap aliases as
 separate projects, so no re-explosion happens at optimization time.
+Two sizing constraints, both learned the hard way, are encoded in
+``attach_h3_jvm``: the analyzer's fixed-point iteration cap (one
+lateral rank resolved per pass) and the fused-stage JIT bytecode
+budget (see the OPERATOR-COUNT BUDGET comment).
 
 Exactness: the expressions replicate the NumPy kernel's float64
 operation ORDER (same association, same literals), so results are
