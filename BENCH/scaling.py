@@ -127,7 +127,7 @@ tiling, _ = bench.materialize_tiling(spark, res)
 base = spark.read.parquet(input_path)
 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
 out = {{}}
-for mult in (1, 2, 4):
+for mult in (1, 2, 4, 8):
     img = reduce(lambda a, b: a.unionByName(b), [base] * mult)
     full = salted_count(explode_caption_tags(spatial_join(img, tiling, res)),
                         ["region_id", "h3", "feature"])
@@ -145,9 +145,10 @@ spark.stop()
 
 
 def run_data_scale(input_path: str, res: int) -> dict:
-    """Same job at 1x/2x/4x the input rows (cache unioned — no regen):
-    evidences that per-row cost is flat as data grows (the second axis of
-    the 100x question; the core-count axis is run_level)."""
+    """Same job at 1x/2x/4x/8x the input rows (cache unioned — no
+    regen): evidences that per-row cost is flat as data grows (the
+    second axis of the 100x question; the core-count axis is
+    run_level)."""
     runner = DATA_RUNNER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", runner, input_path, str(res)],
@@ -267,14 +268,16 @@ speedup at the same pair):
 Reading: at the pair where the host delivers parallelism linearly
 (2->8), the engine scales at ~{eff_2_8:.2f} raw; at 8->32 the engine
 extracts {eff_8_32_norm:.0%} of everything the host can physically
-deliver. On a real multi-NODE cluster (4x nodes = 4x memory bandwidth,
+deliver (values near or above 100% mean the engine's speedup sits
+within measurement noise of the probe ceiling itself — both are
+re-measured each run on a VM with ±5-10% jitter). On a real multi-NODE cluster (4x nodes = 4x memory bandwidth,
 4x kernels, no shared-clock ceiling) the 8->32 host pathologies do not
 exist; the per-node profile here is the evidence the plan itself has no
 serial choke point beyond the ~1 s fixed cost.
 
 ## Data-size axis
 
-Same job at local[32], input unioned 1x/2x/4x — no regeneration:
+Same job at local[32], input unioned 1x/2x/4x/8x — no regeneration:
 per-row cost is flat-to-falling as data grows, i.e. fixed overheads
 amortize and nothing in the plan degrades super-linearly.
 
@@ -283,6 +286,7 @@ amortize and nothing in the plan degrades super-linearly.
 | {n_images:,} (1x) | {dscale[1]:.2f} | {n_images/dscale[1]:,.0f} |
 | {2*n_images:,} (2x) | {dscale[2]:.2f} | {2*n_images/dscale[2]:,.0f} |
 | {4*n_images:,} (4x) | {dscale[4]:.2f} | {4*n_images/dscale[4]:,.0f} |
+| {8*n_images:,} (8x) | {dscale[8]:.2f} | {8*n_images/dscale[8]:,.0f} |
 
 Reference comparison: kraina-ai/hex2vec publishes no throughput numbers
 (SURVEY.md §6); its pipeline is single-process pandas/GeoPandas. Its
