@@ -683,6 +683,35 @@ class TestAsofJoin:
         assert out[4] == (6, 66.0)             # per-key isolation
         assert out[5] == (None, None)          # key with no right rows
 
+    def test_matches_pandas_merge_asof_on_random_data(self, spark):
+        # independent oracle: pandas merge_asof(direction='backward',
+        # allow_exact_matches=True) has exactly ASOF LEFT JOIN semantics
+        from hex2vec_spark.operators.asof import asof_join
+
+        rng = np.random.default_rng(11)
+        nl, nr = 400, 150
+        lk = rng.integers(0, 8, nl)
+        lt = rng.integers(0, 1000, nl)
+        rk = rng.integers(0, 10, nr)  # some keys have no right rows
+        rt = rng.integers(0, 1000, nr)
+        left = pd.DataFrame({"id": np.arange(nl), "k": lk, "ts": lt})
+        right = (
+            pd.DataFrame({"k": rk, "ts": rt, "v": rng.standard_normal(nr)})
+            .groupby(["k", "ts"], as_index=False).agg(v=("v", "max"))
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward", allow_exact_matches=True,
+        ).set_index("id")
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="k", right_payload=["v"],
+        ).toPandas().set_index("id")
+        for i in range(nl):
+            ev, gv = exp.loc[i, "v"], got.loc[i, "asof_v"]
+            assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
+
     def test_one_shuffle_no_join_explosion(self, spark):
         # plan shape: union + window — no Join node at all, exactly one
         # Exchange below the window (the scale argument for the
