@@ -1260,6 +1260,34 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _q_grouping_sets(spark, sf_dir):
+    # A: arbitrary GROUPING SETS (beyond rollup/cube): per-type totals
+    # and per-user totals in one aggregation pass
+    ev = _load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_gs")
+    return spark.sql("""
+        SELECT event_type, user_id,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+    """)
+
+
+def _q_hof_array_ops(spark, sf_dir):
+    # F4: higher-order array functions (transform -> filter ->
+    # aggregate fold) entirely JVM-side over the embedding vectors
+    emb = _load(spark, sf_dir, "embeddings")
+    vc = F.col("embedding").cast("array<double>")
+    kept = F.filter(F.transform(vc, lambda x: x * x), lambda x: x > 0.25)
+    total = F.aggregate(kept, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(total, 4).alias("energy"),
+        F.size(kept).alias("n_big"),
+    )
+
+
 def _q_keep_canonical_graph(spark, sf_dir):
     # keep-canonical dedup application, ORACLED (round 3): same
     # deterministic chain edges as `dedup_components`; keep exactly the
@@ -1511,6 +1539,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoencoder_embed": _q_autoencoder_embed,
         "combined_embed": _q_combined_embed,
         "keep_canonical_graph": _q_keep_canonical_graph,
+        "grouping_sets": _q_grouping_sets,
+        "hof_array_ops": _q_hof_array_ops,
         "knn_ivf_exact": _q_knn_ivf_exact,
     }
 
@@ -2047,6 +2077,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r
             )
             SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "grouping_sets": """
+            SELECT event_type, user_id, COUNT(*) AS n,
+                   CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id))
+        """,
+        "hof_array_ops": """
+            SELECT vec_id,
+                   ROUND(COALESCE(list_sum(
+                       list_filter(
+                           list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                           x -> x > 0.25)), 0.0), 4) AS energy,
+                   len(list_filter(
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                       x -> x > 0.25)) AS n_big
+            FROM embeddings
         """,
         "keep_canonical_graph": """
             WITH RECURSIVE e AS (

@@ -52,12 +52,15 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; component is
     the MIN id of the connected group (deterministic canonical root).
 
     Raises after ``max_iter`` rounds without convergence (log^2-bounded
-    in practice; 25 covers any realistic component structure)."""
+    in practice; 25 covers any realistic component structure). Pass a
+    dict as ``stats`` to receive {"rounds": n} (BENCH/COMPONENTS.md
+    measurements)."""
     edges = _canonical(pairs, id_a, id_b)
     nodes = (
         edges.select(F.col("u").alias("id"))
@@ -105,10 +108,12 @@ def connected_components(
         return _dedup(out)
 
     prev = None
-    for _ in range(max_iter):
+    for rounds in range(max_iter):
         edges = _small_star(_large_star(edges))
         h = _edge_hash(edges)
         if h == prev:
+            if stats is not None:
+                stats["rounds"] = rounds + 1
             break
         prev = h
     else:

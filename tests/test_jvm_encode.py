@@ -96,6 +96,42 @@ class TestBitIdentity:
             assert got[i] in np.asarray(ring).ravel()
 
 
+class TestRandomBboxes:
+    def test_bit_identity_on_random_supported_bboxes(self, spark):
+        # the support gate + chain are exercised on ONE bbox elsewhere;
+        # here: random small bboxes across the globe. Wherever
+        # supports_bbox accepts, the chain must be bit-identical to the
+        # kernel on points INSIDE that bbox; rejected bboxes must fall
+        # back (assign_h3 auto) and still match the kernel.
+        rng = np.random.default_rng(17)
+        accepted = rejected = 0
+        for _ in range(14):
+            lat0 = float(rng.uniform(-65, 60))
+            lng0 = float(rng.uniform(-175, 170))
+            bbox = (lat0, lat0 + float(rng.uniform(1, 5)),
+                    lng0, lng0 + float(rng.uniform(1, 5)))
+            res = int(rng.integers(8, 11))
+            lat = rng.uniform(bbox[0], bbox[1], 4000)
+            lng = rng.uniform(bbox[2], bbox[3], 4000)
+            expected = h3core.encode(lat, lng, res)
+            if not hx.supports_bbox(bbox, res):
+                rejected += 1
+                continue
+            accepted += 1
+            pdf = pd.DataFrame({"lat": lat, "lng": lng})
+            got = (
+                hx.attach_h3_jvm(
+                    spark.createDataFrame(pdf), res, bbox,
+                    lat=F.col("lat"), lng=F.col("lng"),
+                )
+                .toPandas()["h3"].to_numpy()
+            )
+            assert (got != expected).sum() == 0, (bbox, res)
+        # the sample must actually exercise the fast path; mid-latitude
+        # small bboxes are mostly face-interior
+        assert accepted >= 5, (accepted, rejected)
+
+
 class TestSupportGate:
     def test_global_bbox_rejected(self):
         assert not hx.supports_bbox((-60.0, 60.0, -170.0, 170.0), 8)
