@@ -51,16 +51,19 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
     stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; component is
     the MIN id of the connected group (deterministic canonical root).
 
-    Raises after ``max_iter`` rounds without convergence (log^2-bounded
-    in practice; 25 covers any realistic component structure). Pass a
-    dict as ``stats`` to receive {"rounds": n} (BENCH/COMPONENTS.md
-    measurements)."""
+    Raises after ``max_iter`` rounds without convergence. Rounds grow
+    ~log2(diameter): a measured 1M-node pure CHAIN (the pathological
+    diameter case) needs 21 rounds, so the default ceiling is 50 —
+    enough for a 10^15-diameter chain — while convergence (edge-set
+    hash fixpoint) exits real dedup graphs in single digits (7 rounds
+    on a 2M-node chain+star+random mix; BENCH/COMPONENTS.md). Pass a
+    dict as ``stats`` to receive {"rounds": n}."""
     edges = _canonical(pairs, id_a, id_b)
     nodes = (
         edges.select(F.col("u").alias("id"))
