@@ -1260,6 +1260,31 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _q_global_hybrid_assign(spark, sf_dir):
+    # round 3: GLOBAL (seam-spanning) encode via the per-row-face JVM
+    # chain + Arrow residue (operators/spatial.assign_h3 hybrid path);
+    # rows-only (H3 not SQL-expressible) — kernel bit-identity and the
+    # >70% JVM fraction are pinned in tests/test_jvm_encode.py. Output:
+    # per-base-cell counts over a deterministic global sample.
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("event_id").cast("long").alias("k")
+    )
+    src = ev.select(
+        "event_id",
+        F.xxhash64(F.col("k")).alias("phash"),
+    )
+    enc = assign_h3(src, res=8, bbox=(-60.0, 60.0, -170.0, 170.0))
+    return (
+        enc.groupBy(
+            F.shiftrightunsigned(F.col("h3"), 45).bitwiseAND(F.lit(127)).alias("base_cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("base_cell")
+    )
+
+
 def _q_grouping_sets(spark, sf_dir):
     # A: arbitrary GROUPING SETS (beyond rollup/cube): per-type totals
     # and per-user totals in one aggregation pass
@@ -1540,6 +1565,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_embed": _q_combined_embed,
         "keep_canonical_graph": _q_keep_canonical_graph,
         "grouping_sets": _q_grouping_sets,
+        "global_hybrid_assign": _q_global_hybrid_assign,
         "hof_array_ops": _q_hof_array_ops,
         "knn_ivf_exact": _q_knn_ivf_exact,
     }

@@ -229,126 +229,11 @@ def attach_h3_jvm(
         ex.append(f"({sql}) AS `{name}`")
         return f"`{name}`"
 
-    def sub(sql: str) -> str:
-        # inline subexpression (textual duplication is fine: codegen's
-        # subexpression elimination dedupes at runtime, and keeping
-        # these OUT of the alias list keeps the fused stage's operator
-        # count low — see the JIT note below)
-        return f"({sql})"
-
-    # OPERATOR-COUNT BUDGET: every lateral-alias rank below becomes one
-    # Project operator in the SAME whole-stage-codegen stage as the
-    # downstream join/explode/aggregate. Past ~25 operators the stage's
-    # generated aggregate method crosses HotSpot's 8,000-byte JIT limit
-    # and the WHOLE stage runs interpreted (observed: 37 ranks -> a
-    # 9,980-byte method, "too long to be JIT compiled", flagship 3.4 s
-    # -> 9.6 s). So the trig/projection prologue and the axial round
-    # are emitted as TWO dense ranks (inline subtrees, CSE'd at
-    # runtime) and only the aperture-7 chain gets per-level ranks.
-    d2r = float(np.pi / 180.0)  # np.radians(x) == x * (pi/180) (verified)
-    latr = sub(f"({lat_sql}) * {_dlit(d2r)}")
-    lngr = sub(f"({lng_sql}) * {_dlit(d2r)}")
-    cl = sub(f"COS({latr})")
-    x3 = sub(f"{cl} * COS({lngr})")
-    y3 = sub(f"{cl} * SIN({lngr})")
-    z3 = sub(f"SIN({latr})")
-
-    cx, cy, cz = (float(v) for v in ic.FACE_CENTER[face])
-    t1x, t1y, t1z = (float(v) for v in ic.FACE_T1[face])
-    t2x, t2y, t2z = (float(v) for v in ic.FACE_T2[face])
-    # icosa.project: d = xyz . c ; p = xyz / d ; rel = p - c ;
-    # x = (rel . t1) / RES0_U (einsum sums k=0,1,2 left-to-right)
-    d = sub(f"{x3} * {_dlit(cx)} + {y3} * {_dlit(cy)} + {z3} * {_dlit(cz)}")
-    px = sub(f"{x3} / {d} - {_dlit(cx)}")
-    py = sub(f"{y3} / {d} - {_dlit(cy)}")
-    pz = sub(f"{z3} / {d} - {_dlit(cz)}")
-    u0 = float(ic.RES0_U)
-    xh = sub(f"({px} * {_dlit(t1x)} + {py} * {_dlit(t1y)} + {pz} * {_dlit(t1z)}) / {_dlit(u0)}")
-    yh = sub(f"({px} * {_dlit(t2x)} + {py} * {_dlit(t2y)} + {pz} * {_dlit(t2z)}) / {_dlit(u0)}")
-
-    # hexmath.res0_to_res_xy — rank 1: xr/yr become ATTRIBUTES here, so
-    # the axial round below never re-evaluates the trig tree
-    s = float(hm.SQRT7 ** res)
-    rot = hm.class_rotation(res)
-    if rot == 0.0:
-        xr = step("__h3e_xr", f"{xh} * {_dlit(s)}")
-        yr = step("__h3e_yr", f"{yh} * {_dlit(s)}")
-    else:
-        c_, sn = float(np.cos(rot)), float(np.sin(rot))
-        xr = step("__h3e_xr", f"{_dlit(s)} * ({_dlit(c_)} * {xh} - {_dlit(sn)} * {yh})")
-        yr = step("__h3e_yr", f"{_dlit(s)} * ({_dlit(sn)} * {xh} + {_dlit(c_)} * {yh})")
-
-    # hexmath.hex2d_to_axial + axial_round (same op order: q=fa-fb,
-    # r=fb, y=-q-r, rint, tie-fix; RINT == Math.rint == np.rint,
-    # half-to-even) — rank 2: one dense pair of aliases; every inline
-    # subtree bottoms out at the xr/yr attributes.
-    sq3 = _dlit(_SQRT3)
-    fa = sub(f"{xr} + {yr} / {sq3}")
-    fb = sub(f"({_dlit(2.0)} * {yr}) / {sq3}")
-    q = sub(f"{fa} - {fb}")
-    rv = sub(f"{fb}")
-    yv = sub(f"(- {q}) - {rv}")
-    rq = sub(f"RINT({q})")
-    ry = sub(f"RINT({yv})")
-    rr = sub(f"RINT({rv})")
-    dq = sub(f"ABS({rq} - {q})")
-    dy = sub(f"ABS({ry} - {yv})")
-    dr = sub(f"ABS({rr} - {rv})")
-    fixq = sub(f"({dq} >= {dy}) AND ({dq} >= {dr})")
-    fixy = sub(f"(NOT {fixq}) AND ({dy} >= {dr})")
-    rq2 = sub(f"CASE WHEN {fixq} THEN -({ry} + {rr}) ELSE {rq} END")
-    rr2 = sub(f"CASE WHEN NOT ({fixq} OR {fixy}) THEN -({rq2} + {ry}) ELSE {rr} END")
-    a_cur = step(f"__h3e_a{res}", f"{rq2} + {rr2}")
-    b_cur = step(f"__h3e_b{res}", f"{rr2}")
-
-    # hexmath.chain_up_digits_axial in COSET form (see block comment at
-    # _coset_luts): digit from a linear residue mod 7, parent via EXACT
-    # integer division — integer-valued doubles throughout, so every op
-    # here is exact float64 arithmetic (x/7.0 of an exact multiple of 7
-    # is exact by correctly-rounded division) and the result equals the
-    # float tie-fix chain by the coset-uniqueness argument. Digits land
-    # straight in their 3-bit slots.
-    dig_names: list[str] = []
-    for r in range(res, 0, -1):
-        if r % 2 == 1:  # inverse of down_b: M_b^-1 = 1/7 [[2,1],[-1,3]]
-            resid = f"CAST(PMOD({a_cur} - {_dlit(3.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
-            lut = _LUT_B
-        else:  # inverse of down_a: M_a^-1 = 1/7 [[3,-1],[1,2]]
-            resid = f"CAST(PMOD({a_cur} + {_dlit(2.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
-            lut = _LUT_A
-        dig_of = "ARRAY(" + ", ".join(str(dv) for dv in lut) + ")"
-        da_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][0])) for dv in lut) + ")"
-        db_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][1])) for dv in lut) + ")"
-        # lateral-alias resolution peels ONE dependency rank per analyzer
-        # fixed-point iteration; the Resolution batch caps at
-        # spark.sql.analyzer.maxIterations (default 100). Keep this loop
-        # at TWO ranks per level (rs, then {d, a, b}) by inlining the
-        # once-referenced ra/rb parent-lattice coordinates — at res 10
-        # the original 4-rank version blew past the cap.
-        rs = step(f"__h3e_rs{r}", f"({resid}) + 1")
-        ra = f"({a_cur} - ELEMENT_AT({da_of}, {rs}))"
-        rb = f"({b_cur} - ELEMENT_AT({db_of}, {rs}))"
-        if r % 2 == 1:
-            pa = f"({_dlit(2.0)} * {ra} + {rb}) / {_dlit(7.0)}"
-            pb = f"((- {ra}) + {_dlit(3.0)} * {rb}) / {_dlit(7.0)}"
-        else:
-            pa = f"({_dlit(3.0)} * {ra} - {rb}) / {_dlit(7.0)}"
-            pb = f"({ra} + {_dlit(2.0)} * {rb}) / {_dlit(7.0)}"
-        dig_names.append(step(
-            f"__h3e_d{r}",
-            f"SHIFTLEFT(CAST(ELEMENT_AT({dig_of}, {rs}) AS BIGINT), {3 * (15 - r)})",
-        ))
-        a_cur = step(f"__h3e_a{r - 1}", pa)
-        b_cur = step(f"__h3e_b{r - 1}", pb)
-
-    # base cell from the res-0 anchor key (validated closed set): a
-    # dense 25-slot literal-array lookup — non-nullable (no IsNotNull
-    # materializes on the join key) and a single small tree.
-    #
-    # RUNTIME GUARD (round-3 advisor fix): jvm_encode_support validates
-    # the bbox on a sampled grid, so a sub-grid-spacing sliver could in
-    # principle land in an UNVALIDATED slot at runtime; the old code
-    # packed shiftleft(-1, 45) garbage silently. Now: an in-window but
+    # dense base-cell slot map with the RUNTIME GUARD (round-3 advisor
+    # fix): jvm_encode_support validates the bbox on a sampled grid, so
+    # a sub-grid-spacing sliver could in principle land in an
+    # UNVALIDATED slot at runtime; the old code packed
+    # shiftleft(-1, 45) garbage silently. Now: an in-window but
     # unmapped slot (-1) raises via RAISE_ERROR, and an out-of-window
     # anchor key raises via ANSI ELEMENT_AT bounds (with ANSI off,
     # element_at yields NULL, `NULL >= 0` is not true, and the same
@@ -356,27 +241,23 @@ def attach_h3_jvm(
     dense = [-1] * 25
     for k, v in bc_map.items():
         dense[k] = v
-    ak = step("__h3e_ak",
-              f"CAST(({a_cur} + {_dlit(2.0)}) * {_dlit(5.0)} + {b_cur} + {_dlit(2.0)} AS INT)")
     bc_arr = "ARRAY(" + ", ".join(f"CAST({v} AS BIGINT)" for v in dense) + ")"
-    bc_raw = f"ELEMENT_AT({bc_arr}, {ak} + 1)"
     err = ("h3 jvm encode: point maps to a res-0 anchor slot outside the "
            "validated bbox support (sampled-grid gap) - widen the bbox or "
            "use the Arrow kernel path")
-    bc = step(
-        "__h3e_bc",
-        f"CASE WHEN {bc_raw} >= 0 THEN {bc_raw} "
-        f"ELSE CAST(RAISE_ERROR('{err}') AS BIGINT) END",
-    )
 
-    # h3core.pack: mode 1, res bits, 7-fill for unused digit slots
-    n_fill = 15 - res
-    fill = (1 << (3 * n_fill)) - 1 if n_fill else 0
-    const = (1 << 59) | (res << 52) | fill
-    h_sql = f"CAST({const} AS BIGINT) | SHIFTLEFT({bc}, 45)"
-    for dn in dig_names:
-        h_sql = f"{h_sql} | {dn}"
-    hh = step("__h3e_h", h_sql)
+    def bc_of(ak: str) -> str:
+        raw = f"ELEMENT_AT({bc_arr}, {ak} + 1)"
+        return (f"CASE WHEN {raw} >= 0 THEN {raw} "
+                f"ELSE CAST(RAISE_ERROR('{err}') AS BIGINT) END")
+
+    cx, cy, cz = (_dlit(float(v)) for v in ic.FACE_CENTER[face])
+    t1x, t1y, t1z = (_dlit(float(v)) for v in ic.FACE_T1[face])
+    t2x, t2y, t2z = (_dlit(float(v)) for v in ic.FACE_T2[face])
+    hh = _emit_h3_chain(
+        step, res, lat_sql, lng_sql,
+        (cx, cy, cz, t1x, t1y, t1z, t2x, t2y, t2z), bc_of,
+    )
     # PUSHDOWN FENCE on the OUTPUT alias: the spark_partition_id()
     # guard (always true; the kernel never yields null) makes this alias
     # NON-DETERMINISTIC, so PushPredicateThroughNonJoin cannot move any
@@ -403,16 +284,309 @@ def attach_h3_jvm(
     return full.select(*base_cols, out)
 
 
-def attach_h3_from_phash_jvm(
-    df: DataFrame, res: int, bbox: tuple[float, float, float, float], out: str = "h3"
+def _emit_h3_chain(
+    step,
+    res: int,
+    lat_sql: str,
+    lng_sql: str,
+    consts: tuple[str, str, str, str, str, str, str, str, str],
+    bc_of,
+    pre: str = "",
+    xyz: tuple[str, str, str] | None = None,
+) -> str:
+    """Emit the encode arithmetic as lateral-alias SQL via ``step``;
+    returns the reference to the packed (unfenced) cell-id alias.
+
+    ``consts`` are SQL fragments for the face frame (literals on the
+    bbox path, per-row ELEMENT_AT lookups on the global path); ``bc_of``
+    maps the anchor-key fragment to the base-cell fragment (raise-guard
+    vs NULL-route); ``pre`` suffixes temp names so two chains can
+    coexist in one query if ever needed; ``xyz`` supplies precomputed
+    unit-sphere coordinate fragments (the global path shares them with
+    its face argmax instead of re-deriving trig here).
+    """
+
+    def sub(sql: str) -> str:
+        # inline subexpression (textual duplication is fine: codegen's
+        # subexpression elimination dedupes at runtime, and keeping
+        # these OUT of the alias list keeps the fused stage's operator
+        # count low — see the JIT note below)
+        return f"({sql})"
+
+    cx, cy, cz, t1x, t1y, t1z, t2x, t2y, t2z = consts
+    # OPERATOR-COUNT BUDGET: every lateral-alias rank below becomes one
+    # Project operator in the SAME whole-stage-codegen stage as the
+    # downstream join/explode/aggregate. Past ~25 operators the stage's
+    # generated aggregate method crosses HotSpot's 8,000-byte JIT limit
+    # and the WHOLE stage runs interpreted (observed: 37 ranks -> a
+    # 9,980-byte method, "too long to be JIT compiled", flagship 3.4 s
+    # -> 9.6 s). So the trig/projection prologue and the axial round
+    # are emitted as TWO dense ranks (inline subtrees, CSE'd at
+    # runtime) and only the aperture-7 chain gets per-level ranks.
+    d2r = float(np.pi / 180.0)  # np.radians(x) == x * (pi/180) (verified)
+    if xyz is None:
+        latr = sub(f"({lat_sql}) * {_dlit(d2r)}")
+        lngr = sub(f"({lng_sql}) * {_dlit(d2r)}")
+        cl = sub(f"COS({latr})")
+        x3 = sub(f"{cl} * COS({lngr})")
+        y3 = sub(f"{cl} * SIN({lngr})")
+        z3 = sub(f"SIN({latr})")
+    else:
+        x3, y3, z3 = xyz
+
+    # icosa.project: d = xyz . c ; p = xyz / d ; rel = p - c ;
+    # x = (rel . t1) / RES0_U (einsum sums k=0,1,2 left-to-right)
+    d = sub(f"{x3} * {cx} + {y3} * {cy} + {z3} * {cz}")
+    px = sub(f"{x3} / {d} - {cx}")
+    py = sub(f"{y3} / {d} - {cy}")
+    pz = sub(f"{z3} / {d} - {cz}")
+    u0 = float(ic.RES0_U)
+    xh = sub(f"({px} * {t1x} + {py} * {t1y} + {pz} * {t1z}) / {_dlit(u0)}")
+    yh = sub(f"({px} * {t2x} + {py} * {t2y} + {pz} * {t2z}) / {_dlit(u0)}")
+
+    # hexmath.res0_to_res_xy — rank 1: xr/yr become ATTRIBUTES here, so
+    # the axial round below never re-evaluates the trig tree
+    s = float(hm.SQRT7 ** res)
+    rot = hm.class_rotation(res)
+    if rot == 0.0:
+        xr = step(f"__h3e_xr{pre}", f"{xh} * {_dlit(s)}")
+        yr = step(f"__h3e_yr{pre}", f"{yh} * {_dlit(s)}")
+    else:
+        c_, sn = float(np.cos(rot)), float(np.sin(rot))
+        xr = step(f"__h3e_xr{pre}", f"{_dlit(s)} * ({_dlit(c_)} * {xh} - {_dlit(sn)} * {yh})")
+        yr = step(f"__h3e_yr{pre}", f"{_dlit(s)} * ({_dlit(sn)} * {xh} + {_dlit(c_)} * {yh})")
+
+    # hexmath.hex2d_to_axial + axial_round (same op order: q=fa-fb,
+    # r=fb, y=-q-r, rint, tie-fix; RINT == Math.rint == np.rint,
+    # half-to-even) — rank 2: one dense pair of aliases; every inline
+    # subtree bottoms out at the xr/yr attributes.
+    sq3 = _dlit(_SQRT3)
+    fa = sub(f"{xr} + {yr} / {sq3}")
+    fb = sub(f"({_dlit(2.0)} * {yr}) / {sq3}")
+    q = sub(f"{fa} - {fb}")
+    rv = sub(f"{fb}")
+    yv = sub(f"(- {q}) - {rv}")
+    rq = sub(f"RINT({q})")
+    ry = sub(f"RINT({yv})")
+    rr = sub(f"RINT({rv})")
+    dq = sub(f"ABS({rq} - {q})")
+    dy = sub(f"ABS({ry} - {yv})")
+    dr = sub(f"ABS({rr} - {rv})")
+    fixq = sub(f"({dq} >= {dy}) AND ({dq} >= {dr})")
+    fixy = sub(f"(NOT {fixq}) AND ({dy} >= {dr})")
+    rq2 = sub(f"CASE WHEN {fixq} THEN -({ry} + {rr}) ELSE {rq} END")
+    rr2 = sub(f"CASE WHEN NOT ({fixq} OR {fixy}) THEN -({rq2} + {ry}) ELSE {rr} END")
+    a_cur = step(f"__h3e_a{res}{pre}", f"{rq2} + {rr2}")
+    b_cur = step(f"__h3e_b{res}{pre}", f"{rr2}")
+
+    # hexmath.chain_up_digits_axial in COSET form (see block comment at
+    # _coset_luts): digit from a linear residue mod 7, parent via EXACT
+    # integer division — integer-valued doubles throughout, so every op
+    # here is exact float64 arithmetic (x/7.0 of an exact multiple of 7
+    # is exact by correctly-rounded division) and the result equals the
+    # float tie-fix chain by the coset-uniqueness argument. Digits land
+    # straight in their 3-bit slots.
+    dig_names: list[str] = []
+    for r in range(res, 0, -1):
+        if r % 2 == 1:  # inverse of down_b: M_b^-1 = 1/7 [[2,1],[-1,3]]
+            resid = f"CAST(PMOD({a_cur} - {_dlit(3.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
+            lut = _LUT_B
+        else:  # inverse of down_a: M_a^-1 = 1/7 [[3,-1],[1,2]]
+            resid = f"CAST(PMOD({a_cur} + {_dlit(2.0)} * {b_cur}, {_dlit(7.0)}) AS INT)"
+            lut = _LUT_A
+        dig_of = "ARRAY(" + ", ".join(str(dv) for dv in lut) + ")"
+        da_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][0])) for dv in lut) + ")"
+        db_of = "ARRAY(" + ", ".join(_dlit(float(_AX_OFF[dv][1])) for dv in lut) + ")"
+        # lateral-alias resolution peels ONE dependency rank per analyzer
+        # fixed-point iteration; the Resolution batch caps at
+        # spark.sql.analyzer.maxIterations (default 100). Keep this loop
+        # at TWO ranks per level (rs, then {d, a, b}) by inlining the
+        # once-referenced ra/rb parent-lattice coordinates — at res 10
+        # the original 4-rank version blew past the cap.
+        rs = step(f"__h3e_rs{r}{pre}", f"({resid}) + 1")
+        ra = f"({a_cur} - ELEMENT_AT({da_of}, {rs}))"
+        rb = f"({b_cur} - ELEMENT_AT({db_of}, {rs}))"
+        if r % 2 == 1:
+            pa = f"({_dlit(2.0)} * {ra} + {rb}) / {_dlit(7.0)}"
+            pb = f"((- {ra}) + {_dlit(3.0)} * {rb}) / {_dlit(7.0)}"
+        else:
+            pa = f"({_dlit(3.0)} * {ra} - {rb}) / {_dlit(7.0)}"
+            pb = f"({ra} + {_dlit(2.0)} * {rb}) / {_dlit(7.0)}"
+        dig_names.append(step(
+            f"__h3e_d{r}{pre}",
+            f"SHIFTLEFT(CAST(ELEMENT_AT({dig_of}, {rs}) AS BIGINT), {3 * (15 - r)})",
+        ))
+        a_cur = step(f"__h3e_a{r - 1}{pre}", pa)
+        b_cur = step(f"__h3e_b{r - 1}{pre}", pb)
+
+    # base cell from the res-0 anchor key: dense-slot lookup, shape
+    # decided by the caller's bc_of (literal 25-slot array + raise
+    # guard on the validated-bbox path; 20x25 flat per-face array +
+    # NULL routing on the global path)
+    ak = step(f"__h3e_ak{pre}",
+              f"CAST(({a_cur} + {_dlit(2.0)}) * {_dlit(5.0)} + {b_cur} + {_dlit(2.0)} AS INT)")
+    bc = step(f"__h3e_bc{pre}", bc_of(ak))
+
+    # h3core.pack: mode 1, res bits, 7-fill for unused digit slots
+    n_fill = 15 - res
+    fill = (1 << (3 * n_fill)) - 1 if n_fill else 0
+    const = (1 << 59) | (res << 52) | fill
+    h_sql = f"CAST({const} AS BIGINT) | SHIFTLEFT({bc}, 45)"
+    for dn in dig_names:
+        h_sql = f"{h_sql} | {dn}"
+    return step(f"__h3e_h{pre}", h_sql)
+
+
+def _f32(v: float) -> float:
+    return float(np.float32(v))
+
+
+def attach_h3_jvm_global(
+    df: DataFrame,
+    res: int,
+    lat: Column | str | None = None,
+    lng: Column | str | None = None,
+    out: str = "h3",
+    margin: float = 1e-5,
 ) -> DataFrame:
-    """phash -> H3 cell id, fully JVM-side: the documented geotag
-    convention (functions/h3_fns.geotag_np, FIXTURES.md §1) as exact
-    integer/double arithmetic feeding :func:`attach_h3_jvm`."""
+    """GLOBAL JVM encode: per-row face selection + the encode chain with
+    per-row face constants; ``out`` is NULLABLE — NULL marks rows the
+    JVM path cannot encode exactly (callers route those through the
+    Arrow kernel; operators/spatial.assign_h3 does).
+
+    A row is JVM-encoded iff BOTH hold, and is then BIT-IDENTICAL to
+    ``h3core.encode``:
+
+    * the float32 nearest-face argmax is UNAMBIGUOUS by ``margin``:
+      the SQL dot products are f64 sums over f32-rounded operands,
+      within ~4e-7 of the kernel's pure-f32 dots, so a winner by 1e-5
+      is provably the kernel's winner too;
+    * the aperture-7 chain (identical f64 arithmetic to the kernel's,
+      given the same face) lands in the res-0 anchor window on a slot
+      whose base cell is HOMED on that face — exactly the kernel's
+      fast-path (`same` branch, h3core.encode) condition, so the
+      kernel computes the very same digits and base cell.
+
+    Everything else — seam slivers, foreign-homed slots, ambiguous
+    faces — is a thin band around icosahedron edges (measured ~3-8% of
+    an area-uniform global sample) and returns NULL. This is what makes
+    GLOBAL 10^12-row data mostly-JVM: the round-2 engine ran the whole
+    input through the Arrow kernel (a Python worker per task) whenever
+    the bbox wasn't face-interior.
+    """
+    base_cols = list(df.columns)
+    for t in base_cols:
+        if t.startswith("__h3e_"):
+            raise ValueError(
+                f"column {t} collides with the encode temps (reserved prefix __h3e_)"
+            )
+    if lat is None:
+        lat = "`lat`"
+    if lng is None:
+        lng = "`lng`"
+    if isinstance(lat, str) and isinstance(lng, str):
+        lat_sql, lng_sql = lat, lng
+        cur = df
+    else:
+        cur = df.select("*", lat.alias("__h3e_lat"), lng.alias("__h3e_lng"))
+        lat_sql, lng_sql = "`__h3e_lat`", "`__h3e_lng`"
+
+    ex: list[str] = []
+
+    def step(name: str, sql: str) -> str:
+        ex.append(f"({sql}) AS `{name}`")
+        return f"`{name}`"
+
+    # rank 0: unit-sphere xyz as ATTRIBUTES (shared by the 20-face
+    # argmax and the chain — no recomputed trig)
+    d2r = float(np.pi / 180.0)
+    latr = f"(({lat_sql}) * {_dlit(d2r)})"
+    lngr = f"(({lng_sql}) * {_dlit(d2r)})"
+    x3 = step("__h3e_gX", f"COS({latr}) * COS({lngr})")
+    y3 = step("__h3e_gY", f"COS({latr}) * SIN({lngr})")
+    z3 = step("__h3e_gZ", f"SIN({latr})")
+
+    # rank 1: the 20 face dots, f64 arithmetic over f32-rounded
+    # operands (see docstring margin argument)
+    xf = f"CAST(CAST({x3} AS FLOAT) AS DOUBLE)"
+    yf = f"CAST(CAST({y3} AS FLOAT) AS DOUBLE)"
+    zf = f"CAST(CAST({z3} AS FLOAT) AS DOUBLE)"
+    dots_entries = ", ".join(
+        f"{xf} * {_dlit(_f32(c[0]))} + {yf} * {_dlit(_f32(c[1]))} + {zf} * {_dlit(_f32(c[2]))}"
+        for c in ic.FACE_CENTER
+    )
+    dots = step("__h3e_gdots", f"ARRAY({dots_entries})")
+    # rank 2: winner + 1-based face index; rank 3: unambiguity gate
+    mx = step("__h3e_gmx", f"ARRAY_MAX({dots})")
+    fidx = step("__h3e_gfidx", f"CAST(ARRAY_POSITION({dots}, {mx}) AS INT)")
+    safe = step(
+        "__h3e_gsafe",
+        f"({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))}",
+    )
+
+    def arr20(vals) -> str:
+        return "ARRAY(" + ", ".join(_dlit(float(v)) for v in vals) + ")"
+
+    consts = tuple(
+        f"ELEMENT_AT({arr20(tbl[:, i])}, {fidx})"
+        for tbl in (ic.FACE_CENTER, ic.FACE_T1, ic.FACE_T2)
+        for i in range(3)
+    )
+    # flattened 20x25 slot map: base cell if present AND homed on the
+    # face, else -1 (NULL-route; the kernel handles those rows via its
+    # foreign re-chain / seam scan — Arrow fallback here)
+    flat = []
+    for f in range(20):
+        for k in range(25):
+            b = int(ic.ANCHOR_KEY_BC[f, k])
+            flat.append(b if (b >= 0 and int(ic.HOME_FACE[b]) == f) else -1)
+    flat_arr = "ARRAY(" + ", ".join(f"CAST({v} AS BIGINT)" for v in flat) + ")"
+
+    def bc_of(ak: str) -> str:
+        return (f"CASE WHEN {ak} >= 0 AND {ak} <= 24 "
+                f"THEN ELEMENT_AT({flat_arr}, ({fidx} - 1) * 25 + {ak} + 1) "
+                f"ELSE CAST(-1 AS BIGINT) END")
+
+    hh = _emit_h3_chain(
+        step, res, lat_sql, lng_sql, consts, bc_of, pre="g", xyz=(x3, y3, z3)
+    )
+    # nullable fence (same pushdown rationale as attach_h3_jvm; NULL =
+    # route to the Arrow kernel)
+    fence = (
+        f"CASE WHEN SPARK_PARTITION_ID() >= -1 THEN "
+        f"(CASE WHEN {safe} AND `__h3e_bcg` >= 0 THEN {hh} END) END"
+    )
+    quoted_base = [f"`{c}`" for c in base_cols]
+    full = cur.selectExpr(*quoted_base, *ex, f"({fence}) AS `{out}`")
+    return full.select(*base_cols, out)
+
+
+def _phash_latlng_sql(bbox: tuple[float, float, float, float]) -> tuple[str, str]:
+    """The documented geotag convention (functions/h3_fns.geotag_np,
+    FIXTURES.md §1) as exact integer/double SQL fragments."""
     lat0, lat1, lng0, lng1 = bbox
     two32 = _dlit(float(2 ** 32))
     u_hi = "CAST(SHIFTRIGHTUNSIGNED(`phash`, 32) AS DOUBLE)"
     u_lo = f"CAST(`phash` & {0xFFFFFFFF} AS DOUBLE)"
     lat = f"{_dlit(float(lat0))} + ({u_hi} / {two32}) * {_dlit(float(lat1 - lat0))}"
     lng = f"{_dlit(float(lng0))} + ({u_lo} / {two32}) * {_dlit(float(lng1 - lng0))}"
+    return lat, lng
+
+
+def attach_h3_from_phash_jvm(
+    df: DataFrame, res: int, bbox: tuple[float, float, float, float], out: str = "h3"
+) -> DataFrame:
+    """phash -> H3 cell id, fully JVM-side, exact for face-interior
+    bboxes (see :func:`attach_h3_jvm`)."""
+    lat, lng = _phash_latlng_sql(bbox)
     return attach_h3_jvm(df, res, bbox, lat=lat, lng=lng, out=out)
+
+
+def attach_h3_from_phash_jvm_global(
+    df: DataFrame, res: int, bbox: tuple[float, float, float, float], out: str = "h3"
+) -> DataFrame:
+    """phash -> NULLABLE H3 cell id via the global per-row-face chain
+    (see :func:`attach_h3_jvm_global`); NULL rows need the Arrow
+    kernel."""
+    lat, lng = _phash_latlng_sql(bbox)
+    return attach_h3_jvm_global(df, res, lat=lat, lng=lng, out=out)

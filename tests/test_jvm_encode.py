@@ -132,6 +132,44 @@ class TestRandomBboxes:
         assert accepted >= 5, (accepted, rejected)
 
 
+class TestGlobalHybrid:
+    def test_global_hybrid_exact_and_mostly_jvm(self, spark):
+        # round 3: seam-spanning bboxes no longer send 100% of rows to
+        # the Arrow kernel. The global per-row-face chain must (a) be
+        # BIT-IDENTICAL to the kernel on every row it claims, (b) claim
+        # the large majority of an area-uniform global sample, and
+        # (c) via assign_h3 produce kernel-exact values for ALL rows
+        # (NULL residue routed through Arrow).
+        from hex2vec_spark.operators.spatial import assign_h3
+
+        bbox = (-60.0, 60.0, -170.0, 170.0)
+        ph, df = _phash_df(spark, 30_000, seed=5)
+        expected = h3_from_phash_np(ph, 9, bbox)
+
+        jvm_part = hx.attach_h3_from_phash_jvm_global(df, 9, bbox)
+        rows = jvm_part.collect()
+        got = {r["phash"]: r["h3"] for r in rows}
+        n_jvm = sum(1 for v in got.values() if v is not None)
+        assert n_jvm / len(rows) > 0.7, n_jvm / len(rows)
+        exp_of = dict(zip(ph.tolist(), expected.astype(np.int64).tolist()))
+        for p, v in got.items():
+            if v is not None:
+                assert v == exp_of[p], (p, v, exp_of[p])
+
+        full = assign_h3(df, res=9, bbox=bbox)
+        gf = {r["phash"]: r["h3"] for r in full.collect()}
+        assert len(gf) == len(rows)
+        for p, v in gf.items():
+            assert v == exp_of[p]
+
+    def test_global_hybrid_good_branch_has_no_python(self, spark):
+        _, df = _phash_df(spark, 100)
+        enc = hx.attach_h3_from_phash_jvm_global(df, 9, (-60.0, 60.0, -170.0, 170.0))
+        good = enc.where(F.col("h3").isNotNull())
+        plan = good._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestSupportGate:
     def test_global_bbox_rejected(self):
         assert not hx.supports_bbox((-60.0, 60.0, -170.0, 170.0), 8)
