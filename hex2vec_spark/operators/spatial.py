@@ -182,50 +182,54 @@ def assign_h3(
     if jvm != "off":
         from ..functions import h3_expr
 
-        if h3_expr.supports_bbox(bbox, res):
-            try:
-                # key includes the SOURCE FILE SNAPSHOT: part-file names
-                # are unique per write, so rewriting the same path (the
-                # pipeline's stage dirs) misses the memo instead of
-                # serving a stale file index (observed FAILED_READ_FILE
-                # when keyed on semantic hash alone)
-                key = (
-                    images.sparkSession,
-                    images._jdf.queryExecution().analyzed().semanticHash(),
-                    hash(tuple(sorted(images.inputFiles()))),
-                    res, bbox,
-                )
-                hit = _ENCODE_MEMO.get(key)
-                if hit is not None:
-                    return hit
-            except Exception:  # non-classic DataFrame: skip the memo
-                key = None
-            enc = h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
-            if key is not None:
-                _ENCODE_MEMO[key] = enc
-            return enc
-        if jvm == "force":
+        supported = h3_expr.supports_bbox(bbox, res)
+        if not supported and jvm == "force":
             raise ValueError(f"JVM encode not exact for bbox={bbox} res={res}")
-        # GLOBAL HYBRID (round 3): the bbox spans faces/seams, so the
-        # single-face chain is out — but ~80-95% of an area-uniform
-        # global sample still satisfies the kernel's fast-path condition
-        # per row (unambiguous nearest face + home-homed anchor slot,
-        # attach_h3_jvm_global docstring). Encode those rows JVM-side
-        # (bit-identical to the kernel by construction) and route only
-        # the NULL residue — seam slivers and ambiguous-face bands —
-        # through the Arrow kernel. Round 2 sent 100% of global data to
-        # Python workers here. COST SHAPE: the disjunctive split scans
-        # the source twice (each branch column-pruned; the fence keeps
-        # the chain un-walkable, so the isNull/isNotNull filters sit
-        # ABOVE it) — at 10^12 rows that is still a far better trade
-        # than a Python worker on every row; callers that cannot afford
-        # two scans can localCheckpoint the encoded frame first.
-        enc = h3_expr.attach_h3_from_phash_jvm_global(images, res, bbox, out="h3")
-        good = enc.where(F.col("h3").isNotNull())
-        bad = enc.where(F.col("h3").isNull()).drop("h3").withColumn(
-            "h3", F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1))
-        )
-        return good.unionByName(bad)
+        try:
+            # key includes the SOURCE FILE SNAPSHOT: part-file names
+            # are unique per write, so rewriting the same path (the
+            # pipeline's stage dirs) misses the memo instead of
+            # serving a stale file index (observed FAILED_READ_FILE
+            # when keyed on semantic hash alone)
+            key = (
+                images.sparkSession,
+                images._jdf.queryExecution().analyzed().semanticHash(),
+                hash(tuple(sorted(images.inputFiles()))),
+                res, bbox,
+            )
+            hit = _ENCODE_MEMO.get(key)
+            if hit is not None:
+                return hit
+        except Exception:  # non-classic DataFrame: skip the memo
+            key = None
+        if supported:
+            enc = h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
+        else:
+            # GLOBAL HYBRID (round 3): the bbox spans faces/seams, so
+            # the single-face chain is out — but ~81% of an
+            # area-uniform global sample still satisfies the kernel's
+            # fast-path condition per row (unambiguous nearest face +
+            # home-homed anchor slot, attach_h3_jvm_global docstring).
+            # Encode those rows JVM-side (bit-identical to the kernel
+            # by construction) and route only the NULL residue — seam
+            # slivers and ambiguous-face bands — through the Arrow
+            # kernel. Round 2 sent 100% of global data to Python
+            # workers here. COST SHAPE: the disjunctive split scans the
+            # source twice (each branch column-pruned; the fence keeps
+            # the chain un-walkable, so the isNull/isNotNull filters
+            # sit ABOVE it) — at 10^12 rows still a far better trade
+            # than a Python worker on every row; callers that cannot
+            # afford two scans can localCheckpoint the encoded frame.
+            g = h3_expr.attach_h3_from_phash_jvm_global(images, res, bbox, out="h3")
+            good = g.where(F.col("h3").isNotNull())
+            bad = g.where(F.col("h3").isNull()).drop("h3").withColumn(
+                "h3",
+                F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1)),
+            )
+            enc = good.unionByName(bad)
+        if key is not None:
+            _ENCODE_MEMO[key] = enc
+        return enc
     return images.withColumn(
         "h3", F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1))
     )
