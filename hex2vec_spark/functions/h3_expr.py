@@ -561,6 +561,138 @@ def attach_h3_jvm_global(
     return full.select(*base_cols, out)
 
 
+def attach_h3_jvm_home(
+    df: DataFrame,
+    res: int,
+    lat: Column | str | None = None,
+    lng: Column | str | None = None,
+    out: str = "h3",
+    margin: float = 1e-5,
+) -> DataFrame:
+    """SECOND-pass global JVM encode, replicating the kernel's FOREIGN
+    branch (h3core.encode + _chain_in_home): chain in the point's own
+    face to find the claiming base cell (RAW slot map — homed or not),
+    re-chain the point EXACTLY in that cell's HOME face, accept iff the
+    home chain's res-0 anchor equals the cell's HOME_AXIAL slot (the
+    kernel's `consistent` condition). NULL marks rows only the kernel's
+    seam scan can place (Arrow fallback).
+
+    Bit-identity: with the same face pick (argmax margin as
+    attach_h3_jvm_global) this computes the kernel's foreign branch
+    verbatim — same f64 projection and chain in both frames, same
+    consistency test, digits from the home chain, base cell unchanged —
+    and the SAME-homed case degenerates to the kernel's fast path
+    (the home chain IS the own-face chain then). Intended for the
+    RESIDUE of :func:`attach_h3_jvm_global` (operators/spatial.assign_h3
+    wires it that way): the two stacked chains (~50 Project ranks) sit
+    past the fused-stage JIT budget, so this pass runs interpreted —
+    fine for the ~19% residue scan, still far cheaper than per-row
+    Python — while the 81% fast pass keeps its compiled 28-rank chain.
+    """
+    base_cols = list(df.columns)
+    for t in base_cols:
+        if t.startswith("__h3e_"):
+            raise ValueError(
+                f"column {t} collides with the encode temps (reserved prefix __h3e_)"
+            )
+    if lat is None:
+        lat = "`lat`"
+    if lng is None:
+        lng = "`lng`"
+    if isinstance(lat, str) and isinstance(lng, str):
+        lat_sql, lng_sql = lat, lng
+        cur = df
+    else:
+        cur = df.select("*", lat.alias("__h3e_lat"), lng.alias("__h3e_lng"))
+        lat_sql, lng_sql = "`__h3e_lat`", "`__h3e_lng`"
+
+    ex: list[str] = []
+
+    def step(name: str, sql: str) -> str:
+        ex.append(f"({sql}) AS `{name}`")
+        return f"`{name}`"
+
+    d2r = float(np.pi / 180.0)
+    latr = f"(({lat_sql}) * {_dlit(d2r)})"
+    lngr = f"(({lng_sql}) * {_dlit(d2r)})"
+    x3 = step("__h3e_hX", f"COS({latr}) * COS({lngr})")
+    y3 = step("__h3e_hY", f"COS({latr}) * SIN({lngr})")
+    z3 = step("__h3e_hZ", f"SIN({latr})")
+
+    xf = f"CAST(CAST({x3} AS FLOAT) AS DOUBLE)"
+    yf = f"CAST(CAST({y3} AS FLOAT) AS DOUBLE)"
+    zf = f"CAST(CAST({z3} AS FLOAT) AS DOUBLE)"
+    dots_entries = ", ".join(
+        f"{xf} * {_dlit(_f32(c[0]))} + {yf} * {_dlit(_f32(c[1]))} + {zf} * {_dlit(_f32(c[2]))}"
+        for c in ic.FACE_CENTER
+    )
+    dots = step("__h3e_hdots", f"ARRAY({dots_entries})")
+    mx = step("__h3e_hmx", f"ARRAY_MAX({dots})")
+    fidx = step("__h3e_hfidx", f"CAST(ARRAY_POSITION({dots}, {mx}) AS INT)")
+    safe = step(
+        "__h3e_hsafe",
+        f"({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))}",
+    )
+
+    def arr20(vals) -> str:
+        return "ARRAY(" + ", ".join(_dlit(float(v)) for v in vals) + ")"
+
+    consts1 = tuple(
+        f"ELEMENT_AT({arr20(tbl[:, i])}, {fidx})"
+        for tbl in (ic.FACE_CENTER, ic.FACE_T1, ic.FACE_T2)
+        for i in range(3)
+    )
+    # RAW slot map: any claimed base cell, homed or foreign
+    flat_raw = []
+    for f in range(20):
+        for k in range(25):
+            flat_raw.append(int(ic.ANCHOR_KEY_BC[f, k]))
+    flat_arr = "ARRAY(" + ", ".join(f"CAST({v} AS BIGINT)" for v in flat_raw) + ")"
+
+    def bc1_of(ak: str) -> str:
+        return (f"CASE WHEN {ak} >= 0 AND {ak} <= 24 "
+                f"THEN ELEMENT_AT({flat_arr}, ({fidx} - 1) * 25 + {ak} + 1) "
+                f"ELSE CAST(-1 AS BIGINT) END")
+
+    _emit_h3_chain(
+        step, res, lat_sql, lng_sql, consts1, bc1_of, pre="h1", xyz=(x3, y3, z3)
+    )
+    bc1 = "`__h3e_bch1`"
+    # home face of the claiming cell, 1-based; dummy 1 when unclaimed
+    # (result discarded by the final CASE — ANSI element_at needs a
+    # valid index either way)
+    hf_arr = "ARRAY(" + ", ".join(str(int(v) + 1) for v in ic.HOME_FACE) + ")"
+    hidx = step(
+        "__h3e_hhidx",
+        f"CASE WHEN {bc1} >= 0 THEN ELEMENT_AT({hf_arr}, CAST({bc1} AS INT) + 1) "
+        f"ELSE 1 END",
+    )
+    consts2 = tuple(
+        f"ELEMENT_AT({arr20(tbl[:, i])}, {hidx})"
+        for tbl in (ic.FACE_CENTER, ic.FACE_T1, ic.FACE_T2)
+        for i in range(3)
+    )
+    hh2 = _emit_h3_chain(
+        step, res, lat_sql, lng_sql, consts2, lambda ak: bc1, pre="h2",
+        xyz=(x3, y3, z3),
+    )
+    # kernel `consistent`: the home chain's res-0 anchor must be the
+    # cell's own home slot (exact integer-valued-double comparison)
+    ha_arr = "ARRAY(" + ", ".join(_dlit(float(v[0])) for v in ic.HOME_AXIAL) + ")"
+    hb_arr = "ARRAY(" + ", ".join(_dlit(float(v[1])) for v in ic.HOME_AXIAL) + ")"
+    consistent = (
+        f"(`__h3e_a0h2` = ELEMENT_AT({ha_arr}, CAST({bc1} AS INT) + 1)) AND "
+        f"(`__h3e_b0h2` = ELEMENT_AT({hb_arr}, CAST({bc1} AS INT) + 1))"
+    )
+    fence = (
+        f"CASE WHEN SPARK_PARTITION_ID() >= -1 THEN "
+        f"(CASE WHEN {safe} AND {bc1} >= 0 AND ({consistent}) THEN {hh2} END) END"
+    )
+    quoted_base = [f"`{c}`" for c in base_cols]
+    full = cur.selectExpr(*quoted_base, *ex, f"({fence}) AS `{out}`")
+    return full.select(*base_cols, out)
+
+
 def _phash_latlng_sql(bbox: tuple[float, float, float, float]) -> tuple[str, str]:
     """The documented geotag convention (functions/h3_fns.geotag_np,
     FIXTURES.md §1) as exact integer/double SQL fragments."""

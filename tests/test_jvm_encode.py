@@ -162,6 +162,29 @@ class TestGlobalHybrid:
         for p, v in gf.items():
             assert v == exp_of[p]
 
+    def test_home_pass_claims_foreign_residue_exactly(self, spark):
+        # round-3 second JVM pass: the kernel's FOREIGN branch (home
+        # re-chain + HOME_AXIAL consistency). On the global residue it
+        # must claim the large majority (foreign-homed slots are ~19%
+        # of global rows; the unclaimable rest is the kernel's own
+        # seam-scan fraction ~3%) and be BIT-IDENTICAL on every claim.
+        rng = np.random.default_rng(29)
+        n = 40_000
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        lng = rng.uniform(-180, 180, n)
+        from hex2vec_spark.hexlib import h3core
+
+        expected = h3core.encode(lat, lng, 9).astype(np.int64)
+        pdf = pd.DataFrame({"i": np.arange(n), "lat": lat, "lng": lng})
+        g1 = hx.attach_h3_jvm_global(spark.createDataFrame(pdf), 9)
+        resid = g1.where("h3 is null").drop("h3")
+        rows = hx.attach_h3_jvm_home(resid, 9).collect()
+        claimed = [(r["i"], r["h3"]) for r in rows if r["h3"] is not None]
+        assert len(claimed) >= 0.7 * len(rows), (len(claimed), len(rows))
+        assert all(v == expected[i] for i, v in claimed)
+        # combined python residue must be the kernel's seam-scan band
+        assert (len(rows) - len(claimed)) / n < 0.05
+
     def test_global_hybrid_good_branch_has_no_python(self, spark):
         _, df = _phash_df(spark, 100)
         enc = hx.attach_h3_from_phash_jvm_global(df, 9, (-60.0, 60.0, -170.0, 170.0))
