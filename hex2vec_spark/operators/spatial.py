@@ -204,40 +204,53 @@ def assign_h3(
             key = None
         if supported:
             enc = h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
-        else:
+        elif not images.isStreaming:
             # GLOBAL HYBRID (round 3): the bbox spans faces/seams, so
             # the single-face chain is out — but ~81% of an
             # area-uniform global sample still satisfies the kernel's
             # fast-path condition per row (unambiguous nearest face +
-            # home-homed anchor slot, attach_h3_jvm_global docstring).
-            # Encode those rows JVM-side (bit-identical to the kernel
-            # by construction) and route only the NULL residue — seam
-            # slivers and ambiguous-face bands — through the Arrow
-            # kernel. Round 2 sent 100% of global data to Python
-            # workers here. COST SHAPE: the disjunctive split scans the
-            # source twice (each branch column-pruned; the fence keeps
-            # the chain un-walkable, so the isNull/isNotNull filters
-            # sit ABOVE it) — at 10^12 rows still a far better trade
-            # than a Python worker on every row; callers that cannot
-            # afford two scans can localCheckpoint the encoded frame.
-            g = h3_expr.attach_h3_from_phash_jvm_global(images, res, bbox, out="h3")
+            # home-homed anchor slot, attach_h3_jvm_global docstring),
+            # and a second JVM pass over the residue replicates the
+            # kernel's FOREIGN branch (home-face re-chain + consistency
+            # check, attach_h3_jvm_home) — only ~2.8% of global rows
+            # (the kernel's own seam-scan band) reach Python. Both
+            # passes are BIT-IDENTICAL to the kernel on every row they
+            # claim.
+            #
+            # COST SHAPE: each pass is lazily localCheckpoint'ed so the
+            # three output branches read MATERIALIZED rows instead of
+            # re-running the chains per branch (measured at 6M rows:
+            # naive 3-branch recompute 19.96 s; checkpointed 2.26 s;
+            # the pure-Arrow kernel 1.75 s). Locally the vectorized
+            # NumPy kernel is ~1.3x faster in wall-clock — the hybrid
+            # is the default anyway because it removes the Python
+            # worker beside every task thread on 97% of rows, which is
+            # exactly what capped multi-executor scaling efficiency
+            # (round-1 flagship: 0.44 raw with Arrow encode). Wall-
+            # clock-first local runs can pass jvm="off". Checkpoint
+            # blocks persist for the session (the memo reuses them).
+            g = h3_expr.attach_h3_from_phash_jvm_global(
+                images, res, bbox, out="h3"
+            ).localCheckpoint(eager=False)
             good = g.where(F.col("h3").isNotNull())
             resid = g.where(F.col("h3").isNull()).drop("h3")
-            # second JVM pass on the residue: the kernel's FOREIGN
-            # branch (re-chain in the claiming cell's home face +
-            # consistency check) — claims ~85% of the residue, leaving
-            # only the kernel's own seam-scan fraction (~2.8% of global
-            # rows) for Python
             lat_sql, lng_sql = h3_expr._phash_latlng_sql(bbox)
             h = h3_expr.attach_h3_jvm_home(
                 resid, res, lat=lat_sql, lng=lng_sql, out="h3"
-            )
+            ).localCheckpoint(eager=False)
             good2 = h.where(F.col("h3").isNotNull())
             bad = h.where(F.col("h3").isNull()).drop("h3").withColumn(
                 "h3",
                 F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1)),
             )
             enc = good.unionByName(good2).unionByName(bad)
+        else:
+            # streaming + unsupported bbox: localCheckpoint is not
+            # available on streams — Arrow kernel end-to-end
+            enc = images.withColumn(
+                "h3",
+                F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1)),
+            )
         if key is not None:
             _ENCODE_MEMO[key] = enc
         return enc
