@@ -50,13 +50,12 @@ pins both properties on an adversarial vertex-hugging fixture.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame
 
 from ..hexlib import hexmath as hm
 from ..hexlib import icosa as ic
 
 _SQRT3 = float(np.sqrt(3.0))
-_D = F.lit
 
 
 # ------------------------------------------------------------- validation
@@ -160,9 +159,6 @@ def _coset_luts() -> tuple[list[int], list[int]]:
 
 
 _LUT_B, _LUT_A = _coset_luts()
-
-# temp column names (reserved __h3e_ prefix; dropped before returning)
-_TA, _TB = "__h3e_a", "__h3e_b"
 
 
 def _dlit(v: float) -> str:

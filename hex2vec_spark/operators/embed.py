@@ -437,10 +437,6 @@ def combined_fit(
                 "sizes": encoder_sizes}, []
 
     # m-slot layout for _reduce_partials: enc W | enc b | dec W | dec b | loss
-    def slots():
-        return ([np.zeros_like(w) for w in ew], [np.zeros_like(b) for b in eb],
-                [np.zeros_like(w) for w in dw], [np.zeros_like(b) for b in db])
-
     params = [*ew, *eb, *dw, *db]
     adam_m = [np.zeros_like(p) for p in params]
     adam_v = [np.zeros_like(p) for p in params]
@@ -451,8 +447,14 @@ def combined_fit(
         bw = spark.sparkContext.broadcast((ew, eb, dw, db))
 
         def grad_part(batches):
+            # accumulators derive from the BROADCAST weights — capturing
+            # the driver-side arrays in this closure would ship them a
+            # second time with every task
             ews, ebs, dws, dbs = bw.value
-            gew, geb, gdw, gdb = slots()
+            gew = [np.zeros_like(w) for w in ews]
+            geb = [np.zeros_like(b) for b in ebs]
+            gdw = [np.zeros_like(w) for w in dws]
+            gdb = [np.zeros_like(b) for b in dbs]
             bce_pos = bce_neg = sse_t = sse_c = sse_n = 0.0
             for pdf in batches:
                 if not len(pdf):
