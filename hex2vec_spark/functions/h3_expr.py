@@ -243,7 +243,16 @@ def attach_h3_jvm(
            "use the Arrow kernel path")
 
     def bc_of(ak: str) -> str:
-        raw = f"ELEMENT_AT({bc_arr}, {ak} + 1)"
+        # BOUND-CHECK before ELEMENT_AT (round-4 advisor fix): with ANSI
+        # off, element_at on a NEGATIVE index reads from the array END,
+        # so an anchor key in [-25,-2] would silently resolve to a slot
+        # on the opposite window edge; if that slot were mapped (>=0)
+        # the guard below would pass and a WRONG base cell escape. The
+        # explicit range gate routes every out-of-window key to -1 so
+        # the RAISE_ERROR branch fires, matching the guard's contract.
+        raw = (f"(CASE WHEN ({ak}) >= 0 AND ({ak}) <= 24 "
+               f"THEN ELEMENT_AT({bc_arr}, ({ak}) + 1) "
+               f"ELSE CAST(-1 AS BIGINT) END)")
         return (f"CASE WHEN {raw} >= 0 THEN {raw} "
                 f"ELSE CAST(RAISE_ERROR('{err}') AS BIGINT) END")
 
@@ -515,9 +524,17 @@ def attach_h3_jvm_global(
     # rank 2: winner + 1-based face index; rank 3: unambiguity gate
     mx = step("__h3e_gmx", f"ARRAY_MAX({dots})")
     fidx = step("__h3e_gfidx", f"CAST(ARRAY_POSITION({dots}, {mx}) AS INT)")
+    # safe = unique maximum AND margin above the runner-up. The SIZE
+    # term (round-4 advisor fix) catches an EXACT two-way tie at the
+    # max: FILTER(v < mx) would drop both maxima and measure the margin
+    # against the third-largest dot, passing `safe` on a point whose
+    # face pick is genuinely ambiguous (the f32 kernel argmax may pick
+    # the other face). Measure-zero, but the bit-identity claim must
+    # hold on every row the chain CLAIMS — ties now NULL-route.
     safe = step(
         "__h3e_gsafe",
-        f"({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))}",
+        f"(({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))})"
+        f" AND SIZE(FILTER({dots}, v -> v = {mx})) = 1",
     )
 
     def arr20(vals) -> str:
@@ -625,9 +642,11 @@ def attach_h3_jvm_home(
     dots = step("__h3e_hdots", f"ARRAY({dots_entries})")
     mx = step("__h3e_hmx", f"ARRAY_MAX({dots})")
     fidx = step("__h3e_hfidx", f"CAST(ARRAY_POSITION({dots}, {mx}) AS INT)")
+    # unique-max + margin gate (same tie rationale as the global chain)
     safe = step(
         "__h3e_hsafe",
-        f"({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))}",
+        f"(({mx} - ARRAY_MAX(FILTER({dots}, v -> v < {mx}))) > {_dlit(float(margin))})"
+        f" AND SIZE(FILTER({dots}, v -> v = {mx})) = 1",
     )
 
     def arr20(vals) -> str:

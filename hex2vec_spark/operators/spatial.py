@@ -138,7 +138,52 @@ def tiling_table(
     return spark.read.parquet(path)
 
 
-_ENCODE_MEMO: dict = {}
+# Encode-plan memo: {session (weak) -> OrderedDict{subkey -> DataFrame}}.
+# Round-4 advisor fix: the old flat module dict keyed tuples BY session,
+# so entries (and the lazily localCheckpoint'ed blocks the hybrid path
+# pins on executors) outlived the session and grew without bound across
+# stage-dir rewrites. Weak keying drops a session's entries when the
+# session object goes away, an explicit liveness check drops them when
+# it is .stop()ed but still referenced, and an LRU cap bounds the
+# per-session entry count (each miss re-derives a lazy plan — cheap).
+import collections
+import weakref
+
+_ENCODE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_ENCODE_MEMO_CAP = 32
+
+
+def _session_live(session) -> bool:
+    try:
+        return session.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _memo_get(session, subkey):
+    if not _session_live(session):
+        _ENCODE_MEMO.pop(session, None)
+        return None
+    per = _ENCODE_MEMO.get(session)
+    if per is None:
+        return None
+    hit = per.get(subkey)
+    if hit is not None:
+        per.move_to_end(subkey)
+    return hit
+
+
+def _memo_put(session, subkey, df) -> None:
+    # opportunistically drop stopped-but-referenced sessions
+    for s in [s for s in list(_ENCODE_MEMO) if not _session_live(s)]:
+        _ENCODE_MEMO.pop(s, None)
+    if not _session_live(session):
+        return
+    per = _ENCODE_MEMO.setdefault(session, collections.OrderedDict())
+    per[subkey] = df
+    per.move_to_end(subkey)
+    while len(per) > _ENCODE_MEMO_CAP:
+        per.popitem(last=False)
 
 
 def assign_h3(
@@ -191,17 +236,17 @@ def assign_h3(
             # pipeline's stage dirs) misses the memo instead of
             # serving a stale file index (observed FAILED_READ_FILE
             # when keyed on semantic hash alone)
+            sess = images.sparkSession
             key = (
-                images.sparkSession,
                 images._jdf.queryExecution().analyzed().semanticHash(),
                 hash(tuple(sorted(images.inputFiles()))),
                 res, bbox,
             )
-            hit = _ENCODE_MEMO.get(key)
+            hit = _memo_get(sess, key)
             if hit is not None:
                 return hit
         except Exception:  # non-classic DataFrame: skip the memo
-            key = None
+            sess = key = None
         if supported:
             enc = h3_expr.attach_h3_from_phash_jvm(images, res, bbox, out="h3")
         elif not images.isStreaming:
@@ -252,7 +297,7 @@ def assign_h3(
                 F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1)),
             )
         if key is not None:
-            _ENCODE_MEMO[key] = enc
+            _memo_put(sess, key, enc)
         return enc
     return images.withColumn(
         "h3", F.coalesce(h3_from_phash_res(res, bbox)(F.col("phash")), F.lit(-1))

@@ -252,3 +252,135 @@ class TestSupportGate:
         _, df = _phash_df(spark, 5)
         out = hx.attach_h3_from_phash_jvm(df, 9, DEFAULT_BBOX, out="cell")
         assert out.columns == ["phash", "cell"]
+
+
+class TestRound4AdvisorFixes:
+    def _window_aks(self, lat, lng, res=9):
+        # replicate the chain's anchor-key derivation on FACE f's frame
+        # (the chain uses the validated face regardless of the point)
+        from hex2vec_spark.hexlib import hexmath as hm
+        from hex2vec_spark.hexlib import icosa as ic
+
+        f, bc_map = hx.jvm_encode_support(DEFAULT_BBOX, res)
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        xyz = ic.geo_to_xyz(lat, lng)
+        xh, yh = ic.project(np.full(len(lat), f), xyz)
+        xr, yr = hm.res0_to_res_xy(xh, yh, res)
+        a, b = hm.hex2d_to_axial(xr, yr)
+        a0, b0, _ = hm.chain_up_digits_axial(a, b, res)
+        return f, bc_map, (a0 + 2) * 5 + (b0 + 2)
+
+    def test_below_window_anchor_key_raises_not_wraps(self, spark):
+        # round-4 advisor fix (medium): with ANSI off, element_at on a
+        # NEGATIVE index reads from the array END, so a point whose
+        # res-0 anchor key falls BELOW the window (ak in [-25,-2]) used
+        # to resolve to the slot at dense[25+ak] on the opposite window
+        # edge — if that slot was mapped, a silently WRONG base cell was
+        # packed. Build exactly that scenario: find an out-of-window
+        # point with a numerically stable negative ak, poison the
+        # support memo so its wrap target IS mapped, and require the
+        # encode to RAISE (the old code returned a corrupt id here).
+        res = 9
+        # ring of points outside but near the bbox (stable projections)
+        la0, la1, lo0, lo1 = DEFAULT_BBOX
+        cand_lat, cand_lng = [], []
+        for dla in np.linspace(-40.0, 40.0, 41):
+            for dlo in np.linspace(-40.0, 40.0, 41):
+                la, lo = (la0 + la1) / 2 + dla, (lo0 + lo1) / 2 + dlo
+                if not (la0 <= la <= la1 and lo0 <= lo <= lo1):
+                    cand_lat.append(la)
+                    cand_lng.append(lo)
+        f, bc_map, ak = self._window_aks(cand_lat, cand_lng, res)
+        # stability: same ak under 1e-5-degree perturbation
+        _, _, ak_p = self._window_aks(
+            np.array(cand_lat) + 1e-5, np.array(cand_lng) + 1e-5, res
+        )
+        pick = np.nonzero((ak >= -23) & (ak <= -2) & (ak == ak_p))[0]
+        assert len(pick) > 0, "no below-window candidate point found"
+        i = int(pick[0])
+        wrap_slot = int(25 + ak[i])          # 0-based slot old code read
+        key = (tuple(DEFAULT_BBOX), res)
+        hx.jvm_encode_support(DEFAULT_BBOX, res)
+        face, orig = hx._SUPPORT_MEMO[key]
+        poisoned = dict(orig)
+        poisoned[wrap_slot] = next(iter(orig.values()))  # wrap target mapped
+        try:
+            hx._SUPPORT_MEMO[key] = (face, poisoned)
+            # lat/lng as COLUMNS, not literals: constant inputs make
+            # every chain step foldable-cheap, so CollapseProject
+            # merges the whole Project stack with exponential alias
+            # substitution (observed: optimizer pinned >13 min on this
+            # one-row plan). Column inputs match the production shape,
+            # where the multiply-referenced steps stay attributes.
+            df = spark.createDataFrame(
+                [(float(cand_lat[i]), float(cand_lng[i]))], "lat double, lng double"
+            )
+            out = hx.attach_h3_jvm(df, res, DEFAULT_BBOX, lat="lat", lng="lng")
+            with pytest.raises(Exception, match="anchor slot|USER_RAISED"):
+                out.collect()
+        finally:
+            hx._SUPPORT_MEMO[key] = (face, orig)
+
+    def test_face_tie_gate_null_routes(self, spark):
+        # round-4 advisor fix: an EXACT two-way tie at the max face dot
+        # must fail the `safe` gate (the f32 kernel argmax may pick the
+        # other face). (a) wiring: the emitted global chain carries the
+        # unique-max SIZE(FILTER(...)) = 1 term; (b) semantics: the
+        # predicate template is FALSE on a tie, where the old
+        # margin-only form measured against the THIRD-largest dot and
+        # passed.
+        _, df = _phash_df(spark, 3)
+        g = hx.attach_h3_from_phash_jvm_global(df, 9, (-60.0, 60.0, -170.0, 170.0))
+        s = g._jdf.queryExecution().analyzed().toString().lower()
+        assert "size(filter" in s
+        row = spark.sql(
+            "SELECT (((mx - ARRAY_MAX(FILTER(d, v -> v < mx))) > 1e-5D)"
+            "  AND SIZE(FILTER(d, v -> v = mx)) = 1) AS safe "
+            "FROM (SELECT ARRAY(0.9D, 0.9D, 0.1D) AS d, 0.9D AS mx)"
+        ).collect()[0]
+        assert row["safe"] is False
+
+
+class TestEncodeMemoHygiene:
+    # round-4 advisor fix: the encode-plan memo must not pin entries for
+    # the process lifetime — weak keying, stopped-session eviction, LRU cap
+    class _SC:
+        def __init__(self):
+            self._jsc = object()
+
+    class _Sess:
+        def __init__(self):
+            self.sparkContext = TestEncodeMemoHygiene._SC()
+
+    def test_cap_lru_and_stopped_session_eviction(self):
+        from hex2vec_spark.operators import spatial as sp
+
+        s = self._Sess()
+        cap = sp._ENCODE_MEMO_CAP
+        for i in range(cap + 5):
+            sp._memo_put(s, ("k", i), f"plan{i}")
+        assert len(sp._ENCODE_MEMO[s]) == cap
+        assert sp._memo_get(s, ("k", 0)) is None           # LRU-evicted
+        assert sp._memo_get(s, ("k", cap + 4)) == f"plan{cap + 4}"
+        # LRU refresh: touching an old key keeps it through new puts
+        assert sp._memo_get(s, ("k", 5)) == "plan5"
+        sp._memo_put(s, ("k", cap + 5), "plannew")
+        assert sp._memo_get(s, ("k", 5)) == "plan5"
+        # stopped session: entries dropped on next access
+        s.sparkContext._jsc = None
+        assert sp._memo_get(s, ("k", cap + 4)) is None
+        assert s not in sp._ENCODE_MEMO
+
+    def test_weak_keying_releases_dead_sessions(self):
+        import gc
+
+        from hex2vec_spark.operators import spatial as sp
+
+        s = self._Sess()
+        sp._memo_put(s, "k", "plan")
+        assert sp._memo_get(s, "k") == "plan"
+        ref = __import__("weakref").ref(s)
+        del s
+        gc.collect()
+        assert ref() is None  # the memo held no strong reference
