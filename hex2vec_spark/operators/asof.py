@@ -43,13 +43,32 @@ def asof_join(
     right_time: str = "ts",
     right_payload: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """ASOF LEFT JOIN: left rows + most-recent-prior right payload.
 
     Output columns: all of ``left``'s, plus ``{prefix}{right_time}``
     (the matched right timestamp) and ``{prefix}{c}`` for each payload
     column (NULL when no prior right row exists).
+
+    ``direction``/``allow_exact_matches`` span the full pandas
+    ``merge_asof`` surface (round-4 addition; DuckDB expresses the same
+    four variants as ASOF JOIN ON ``>=``, ``>``, ``<=``, ``<``):
+
+    * ``backward`` (default): largest right_time <= left_time
+      (< when ``allow_exact_matches=False``)
+    * ``forward``: smallest right_time >= left_time (> when not exact)
+
+    Both reuse the SAME union-timeline plan — only the sort direction
+    and the right rows' tie rank change: the timeline is scanned in
+    match order (asc for backward, desc for forward), and right rows
+    sort before left rows at equal timestamps exactly when an equal
+    timestamp qualifies (side 0 < 1), after them when it must not
+    (side 2 > 1). Still one shuffle, zero Join nodes.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (by, right_time)]
 
@@ -57,10 +76,17 @@ def asof_join(
         F.col(right_time).alias(f"{prefix}{right_time}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
     )
+    # NULL right timestamps never match (DuckDB ASOF / pandas
+    # merge_asof semantics). Without this filter they sort FIRST
+    # (asc = NULLS FIRST, side 0) and their payload carries forward
+    # into left rows that have no true prior match. Left rows with a
+    # NULL timestamp also sort first and therefore correctly get a
+    # NULL payload — no filter needed on that side.
+    right = right.where(F.col(right_time).isNotNull())
     r = right.select(
         F.col(by).alias(by),
         F.col(right_time).alias("_asof_t"),
-        F.lit(0).alias("_asof_side"),
+        F.lit(0 if allow_exact_matches else 2).alias("_asof_side"),
         pay_struct.alias("_asof_pay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != by],
@@ -73,9 +99,17 @@ def asof_join(
         *[c for c in left.columns if c != by],
     )
     u = l.unionByName(r)
+    # NULLS FIRST in BOTH directions (desc defaults to NULLS LAST):
+    # a left row with a NULL timestamp must scan before any right row
+    # so its carry is NULL — under desc_nulls_last it would sort after
+    # everything and match the smallest right timestamp.
+    t_order = (
+        F.col("_asof_t").asc_nulls_first() if direction == "backward"
+        else F.col("_asof_t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc())
+        .orderBy(t_order, F.col("_asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_asof_hit", F.last("_asof_pay", ignorenulls=True).over(w))

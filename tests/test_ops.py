@@ -712,6 +712,76 @@ class TestAsofJoin:
             ev, gv = exp.loc[i, "v"], got.loc[i, "asof_v"]
             assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
 
+    def test_null_timestamps_never_match(self, spark):
+        # round-4 advisor fix: NULL right timestamps used to sort FIRST
+        # (asc NULLS FIRST, side 0) and poison every left row before the
+        # first real match; DuckDB ASOF and pandas merge_asof never
+        # match NULLs. Left NULL timestamps get a NULL payload.
+        from hex2vec_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", 5), (2, "u", 20), (3, "u", None)],
+            "id long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("u", None, -1.0), ("u", 10, 100.0)],
+            "k string, ts long, v double",
+        )
+        for direction in ("backward", "forward"):
+            out = {r["id"]: (r["asof_ts"], r["asof_v"]) for r in asof_join(
+                left, right, by="k", right_payload=["v"], direction=direction,
+            ).collect()}
+            assert out[3] == (None, None), (direction, out)  # NULL left ts
+            if direction == "backward":
+                assert out[1] == (None, None)   # before any REAL right row
+                assert out[2] == (10, 100.0)
+            else:
+                assert out[1] == (10, 100.0)
+                assert out[2] == (None, None)   # after the last right row
+
+    @pytest.mark.parametrize("direction,exact", [
+        ("backward", False), ("forward", True), ("forward", False),
+    ])
+    def test_variants_match_pandas_merge_asof(self, spark, direction, exact):
+        # round-4: the full merge_asof surface, each variant vs pandas
+        from hex2vec_spark.operators.asof import asof_join
+
+        rng = np.random.default_rng(13)
+        nl, nr = 300, 120
+        left = pd.DataFrame({
+            "id": np.arange(nl),
+            "k": rng.integers(0, 8, nl),
+            "ts": rng.integers(0, 500, nl),
+        })
+        right = (
+            pd.DataFrame({
+                "k": rng.integers(0, 10, nr),
+                "ts": rng.integers(0, 500, nr),
+                "v": rng.standard_normal(nr),
+            })
+            .groupby(["k", "ts"], as_index=False).agg(v=("v", "max"))
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction=direction, allow_exact_matches=exact,
+        ).set_index("id")
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="k", right_payload=["v"],
+            direction=direction, allow_exact_matches=exact,
+        ).toPandas().set_index("id")
+        for i in range(nl):
+            ev, gv = exp.loc[i, "v"], got.loc[i, "asof_v"]
+            assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
+
+    def test_bad_direction_raises(self, spark):
+        from hex2vec_spark.operators.asof import asof_join
+
+        left = spark.range(1).selectExpr("id as k", "id as ts")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(left, left, by="k", direction="nearest")
+
     def test_one_shuffle_no_join_explosion(self, spark):
         # plan shape: union + window — no Join node at all, exactly one
         # Exchange below the window (the scale argument for the
