@@ -11,8 +11,10 @@ published shuffle-bounded method): each round is one groupBy + one
 join over the edge list, no driver-side graph, edges monotonically
 flatten toward a star per component, converging in O(log^2 n) rounds
 even for adversarial chains (plain min-label propagation needs
-diameter rounds). Per round the edge list is localCheckpoint'd —
-iterative lineage would otherwise grow unboundedly — and convergence
+diameter rounds). Per round the edge list's lineage is truncated
+(operators/ckpt.Checkpointer: localCheckpoint by default, reliable
+``df.checkpoint`` every k rounds when a ``checkpoint_dir`` is given —
+the fault-tolerant shape for multi-hour cluster runs) and convergence
 is detected by an order-insensitive edge-set hash (one tiny agg row
 per round, no driver collect of edges).
 
@@ -53,6 +55,8 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; component is
     the MIN id of the connected group (deterministic canonical root).
@@ -63,15 +67,30 @@ def connected_components(
     enough for a 10^15-diameter chain — while convergence (edge-set
     hash fixpoint) exits real dedup graphs in single digits (7 rounds
     on a 2M-node chain+star+random mix; BENCH/COMPONENTS.md). Pass a
-    dict as ``stats`` to receive {"rounds": n}."""
+    dict as ``stats`` to receive {"rounds": n}.
+
+    Fault tolerance (round-4): by default rounds truncate lineage with
+    ``localCheckpoint`` — fastest, but blocks live only on executors,
+    so on a multi-executor cluster ONE lost executor kills a
+    multi-hour 100 TB run. Pass ``checkpoint_dir`` (a DFS path on a
+    cluster) to write a RELIABLE ``df.checkpoint()`` every
+    ``checkpoint_every``-th lineage cut instead: executor loss then
+    recomputes from the last reliable round (re-do window <=
+    ``checkpoint_every`` rounds) at the cost of one FS write per
+    reliable round. Results are identical either way
+    (tests/test_components.py::test_reliable_checkpoint_identical).
+    """
+    from .ckpt import Checkpointer
+
+    ckpt = Checkpointer(pairs.sparkSession, checkpoint_dir, checkpoint_every)
     edges = _canonical(pairs, id_a, id_b)
-    nodes = (
+    nodes = ckpt.reliable(  # scanned again after the loop — keep it durable
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
-    edges = edges.localCheckpoint(eager=False)
+    edges = ckpt(edges, eager=False)
 
     def _undirected(e: DataFrame) -> DataFrame:
         return e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
@@ -79,11 +98,11 @@ def connected_components(
         )
 
     def _dedup(e: DataFrame) -> DataFrame:
-        return (
+        return ckpt(
             e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
             .where(F.col("u") < F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
         )
 
     def _large_star(e: DataFrame) -> DataFrame:

@@ -78,3 +78,34 @@ class TestConnectedComponents:
         kept = sorted(r["doc_id"] for r in keep_canonical(df, pairs, "doc_id").collect())
         # groups {1,2,3} -> keep 1; {4,5} -> keep 4; 9 untouched
         assert kept == [1, 4, 9]
+
+    def test_reliable_checkpoint_identical(self, spark, tmp_path):
+        # round-4 verdict fix: with a checkpoint_dir, every k-th lineage
+        # cut is a RELIABLE df.checkpoint() (fault-tolerant on a real
+        # cluster: a lost executor recomputes from the last reliable
+        # round instead of killing the job). Must be observationally
+        # identical to the localCheckpoint default, and must actually
+        # write checkpoint data under the dir.
+        import os
+
+        rng = np.random.default_rng(11)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 400, size=(300, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        base = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        ckdir = str(tmp_path / "ck")
+        stats = {}
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, checkpoint_dir=ckdir, checkpoint_every=2, stats=stats
+            ).collect()
+        }
+        assert got == base
+        assert stats["rounds"] >= 1
+        # reliable checkpoints materialized on the (shared) filesystem
+        found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert found, "no reliable checkpoint files written"
