@@ -45,6 +45,22 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))
 
 
+_M64 = (1 << 64) - 1
+
+
+def _hash_init_row(seed: int, key: int, dim: int) -> np.ndarray:
+    """Deterministic per-WORD-ID initial input-embedding row (round 4).
+
+    Position-independent: the same (seed, word id) yields the same row
+    no matter where the word lands in a vocabulary ordering — the
+    property that lets the SHARDED trainer (weights as a DataFrame,
+    initialized executor-side per row) start from bit-identical
+    weights as the dense path under ``init='hash'``, so their loss
+    trajectories can be compared directly (tests/test_embed.py)."""
+    rng = np.random.default_rng([seed & _M64, 0x9E3779B9, key & _M64])
+    return (rng.standard_normal(dim) / np.sqrt(dim)) * 0.1
+
+
 def skipgram_fit(
     pairs: DataFrame,
     dim: int = 16,
@@ -54,6 +70,7 @@ def skipgram_fit(
     input_col: str = "input_h3",
     context_col: str = "context_h3",
     negs_col: str = "neg_h3s",
+    init: str = "position",
 ) -> tuple[np.ndarray, np.ndarray, list[float]]:
     """Train SGNS embeddings over a (input, context, negatives) table.
 
@@ -61,6 +78,13 @@ def skipgram_fit(
     per-iteration mean losses). Negatives may be null/empty (rows then
     contribute only the positive term, like the reference's dataset
     rows whose exclusion ring ate all candidates).
+
+    ``init='position'`` (default) draws the whole V x dim init from one
+    seeded stream over the sorted vocabulary (the engine's historical
+    behavior); ``init='hash'`` initializes each row from its WORD ID
+    (:func:`_hash_init_row`) — position-independent, and bit-identical
+    to :func:`skipgram_fit_sharded`'s executor-side init, which is how
+    the dense and sharded paths are trajectory-compared.
     """
     spark = pairs.sparkSession
     # vocabulary = distinct cells on either side (dimension-sized)
@@ -89,18 +113,36 @@ def skipgram_fit(
     def to_idx(batches):
         m = b_idx.value
         for pdf in batches:
-            t = pdf[input_col].map(lambda h: m[int(h)]).astype(np.int64)
-            c = pdf[context_col].map(lambda h: m[int(h)]).astype(np.int64)
-            n = pdf[negs_col].map(
-                lambda xs: [m[int(x)] for x in xs] if xs is not None else []
-            )
+            # vectorized dict lookup (round-4: Series.map(dict) runs in
+            # pandas' C path; the old per-row lambdas were the one
+            # per-row-Python residue in the trainer). The ragged negs
+            # lists flatten to one mapped Series and re-split by length.
+            t = pdf[input_col].map(m).astype(np.int64)
+            c = pdf[context_col].map(m).astype(np.int64)
+            negs = pdf[negs_col]
+            lens = negs.map(len, na_action="ignore").fillna(0).astype(np.int64).to_numpy()
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in negs if x is not None]
+                )
+                mapped = pd.Series(flat).map(m).to_numpy()
+                n = pd.Series(
+                    [a.tolist() for a in np.split(mapped, np.cumsum(lens)[:-1])]
+                )
+            else:
+                n = pd.Series([[] for _ in range(len(pdf))], dtype=object)
             yield pd.DataFrame({"t": t, "c": c, "n": n})
 
     data = pairs.mapInPandas(to_idx, "t long, c long, n array<long>")
     data = data.localCheckpoint(eager=True)  # scanned n_iter times
 
-    rng = np.random.default_rng(seed)
-    w_in = (rng.standard_normal((V, dim)) / np.sqrt(dim)) * 0.1
+    if init == "hash":
+        w_in = np.stack([_hash_init_row(seed, int(h), dim) for h in vocab])
+    elif init == "position":
+        rng = np.random.default_rng(seed)
+        w_in = (rng.standard_normal((V, dim)) / np.sqrt(dim)) * 0.1
+    else:
+        raise ValueError(f"init must be position|hash, got {init!r}")
     w_out = np.zeros((V, dim))
     losses: list[float] = []
     n_rows = data.count()
@@ -166,6 +208,240 @@ def skipgram_fit(
         w_out -= (lr / n_rows) * g_out
         losses.append(loss / n_rows)
     return vocab, w_in, losses
+
+
+def skipgram_fit_sharded(
+    pairs: DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 1.0,
+    seed: int = 13,
+    input_col: str = "input_h3",
+    context_col: str = "context_h3",
+    negs_col: str = "neg_h3s",
+    batch_fraction: float | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, list[float]]:
+    """SGNS trainer with CLUSTER-RESIDENT weights (round-4 scale fix).
+
+    :func:`skipgram_fit` keeps the V x dim weight matrices on the
+    driver and broadcasts them per iteration — optimal while they fit
+    one process (the reference's ~10^5-hex operating point) but a hard
+    ceiling beyond it (a global res-9 corpus from a 10^12-image table
+    is ~10^8 cells -> ~25 GB of weights on the driver and over the
+    wire every iteration). This path removes the ceiling: weights live
+    as a ``(m, key, vec)`` DataFrame (m=0 input matrix, m=1 output
+    matrix, key = the raw cell id — no driver-side vocabulary index at
+    all) and every step is expressed as joins:
+
+      1. STATIC ``touch`` skeleton, built once and checkpointed:
+         ``(rid, m, key, role)`` — one row per weight row a pair
+         needs (role 0 = input word, 1 = context, 2 = negative).
+         Hash-partitioned + sorted by (m, key) at rest so the
+         per-iteration weights join reuses its layout.
+      2. Per iteration: ``touch`` JOIN ``weights`` on (m, key) — only
+         the V-sized weights side shuffles — then one pairs-scale
+         groupBy(rid) reassembles each pair's vectors, a mapInPandas
+         kernel emits sparse per-partition gradient rows, and
+         :func:`_reduce_partials` combines them cluster-side exactly
+         as the dense path does.
+      3. The summed gradient (<= 2V rows) LEFT-JOINs back onto the
+         weights DataFrame for the step — the driver only ever
+         collects the 2-row loss/count aggregate.
+
+    Honest cost statement: the ceiling is bought with ONE extra
+    pairs-scale shuffle per iteration (the groupBy(rid) reassembly;
+    the dense path's pairs table never shuffles). Use the dense path
+    while V x dim fits comfortably in executor memory; switch here
+    when it doesn't, and use ``batch_fraction`` (deterministic
+    per-iteration xxhash64 row sampling — no extra scan, no join) so
+    an iteration need not pay that shuffle over ALL pairs.
+
+    Initialization is :func:`_hash_init_row` per (m=0) row — byte-equal
+    to ``skipgram_fit(init='hash')``, so at small V the two paths
+    produce the same loss trajectory to float-reduction-order
+    tolerance (pinned by tests/test_embed.py::TestShardedSkipgram).
+
+    ``checkpoint_dir``/``checkpoint_every``: see
+    :class:`~hex2vec_spark.operators.ckpt.Checkpointer` — reliable
+    fault-tolerant checkpoints every k-th lineage cut for multi-hour
+    cluster runs; default is executor-local only.
+
+    Returns ``(weights DataFrame (m, key, vec), per-iteration mean
+    losses)``; :func:`sharded_embeddings` projects out the (h3,
+    embedding) table.
+    """
+    from .ckpt import Checkpointer
+
+    spark = pairs.sparkSession
+    ckpt = Checkpointer(spark, checkpoint_dir, checkpoint_every)
+
+    base = pairs.select(
+        F.col(input_col).cast("long").alias("t"),
+        F.col(context_col).cast("long").alias("c"),
+        F.coalesce(
+            F.col(negs_col).cast("array<long>"), F.array().cast("array<long>")
+        ).alias("n"),
+    ).withColumn("rid", F.monotonically_increasing_id())
+    touch = base.select(
+        "rid",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("m"),
+                        F.col("t").alias("key"),
+                        F.lit(0).alias("role"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("m"),
+                        F.col("c").alias("key"),
+                        F.lit(1).alias("role"),
+                    ),
+                ),
+                F.transform(
+                    "n",
+                    lambda x: F.struct(
+                        F.lit(1).alias("m"),
+                        x.alias("key"),
+                        F.lit(2).alias("role"),
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("rid", "w.m", "w.key", "w.role")
+    # at-rest layout: co-partition + sort on the join keys so each
+    # iteration's weights join reuses it (checkpoint preserves output
+    # partitioning/ordering); the pair table itself is scanned every
+    # iteration — keep it durable when a reliable dir is available
+    touch = ckpt.reliable(
+        touch.repartition("m", "key").sortWithinPartitions("m", "key"), eager=True
+    )
+    n_rows = touch.where(F.col("role") == 0).count()
+    if n_rows == 0:
+        empty = spark.createDataFrame([], "m int, key long, vec array<double>")
+        return empty, []
+
+    wseed = int(seed)
+    out_dim = dim
+
+    def init_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = [
+                _hash_init_row(wseed, int(k), out_dim).tolist()
+                if m == 0
+                else [0.0] * out_dim
+                for m, k in zip(pdf["m"], pdf["key"])
+            ]
+            yield pd.DataFrame({"m": pdf["m"], "key": pdf["key"], "vec": vecs})
+
+    # full vocabulary x both matrices, initialized EXECUTOR-SIDE — the
+    # driver never materializes V rows, let alone V x dim floats
+    vocab_df = touch.select("key").distinct()
+    weights = (
+        vocab_df.crossJoin(spark.createDataFrame([(0,), (1,)], "m int"))
+        .repartition("m", "key")
+        .mapInPandas(init_fn, "m int, key long, vec array<double>")
+    )
+    weights = ckpt.reliable(weights, eager=True)
+
+    def grad_part(batches):
+        gi: dict[int, np.ndarray] = {}
+        go: dict[int, np.ndarray] = {}
+        loss_sum = 0.0
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["tu"].to_numpy())
+            v = np.stack(pdf["cv"].to_numpy())
+            tk = pdf["tk"].to_numpy().astype(np.int64)
+            ck = pdf["ck"].to_numpy().astype(np.int64)
+            cnt += len(pdf)
+            s_pos = _sigmoid((u * v).sum(axis=1))
+            loss_sum += float(-np.log(np.maximum(s_pos, 1e-12)).sum())
+            coef = (s_pos - 1.0)[:, None]
+            _acc(gi, tk, coef * v)
+            _acc(go, ck, coef * u)
+            lens = pdf["negs"].map(len).to_numpy()
+            if lens.sum():
+                flat = [w for lst in pdf["negs"] for w in lst]
+                nk = np.array([w["key"] for w in flat], dtype=np.int64)
+                vn = np.stack([np.asarray(w["vec"]) for w in flat])
+                ridx = np.repeat(np.arange(len(pdf)), lens)
+                utn = u[ridx]
+                s_neg = _sigmoid((utn * vn).sum(axis=1))
+                loss_sum += float(-np.log(np.maximum(1.0 - s_neg, 1e-12)).sum())
+                coef_n = s_neg[:, None]
+                _acc(gi, tk[ridx], coef_n * vn)
+                _acc(go, nk, coef_n * utn)
+        rows = [
+            {"m": 0, "i": int(k), "g": v_.tolist()} for k, v_ in gi.items()
+        ] + [{"m": 1, "i": int(k), "g": v_.tolist()} for k, v_ in go.items()]
+        rows.append({"m": 2, "i": 0, "g": [loss_sum] + [0.0] * (out_dim - 1)})
+        rows.append({"m": 3, "i": 0, "g": [float(cnt)] + [0.0] * (out_dim - 1)})
+        yield pd.DataFrame(rows, columns=["m", "i", "g"])
+
+    losses: list[float] = []
+    for it in range(n_iter):
+        touch_it = touch
+        if batch_fraction is not None:
+            # deterministic per-iteration row sample keyed on rid: the
+            # SAME pairs are kept across all of a row's touch entries,
+            # no join and no second scan to draw the batch
+            touch_it = touch.where(
+                F.pmod(
+                    F.xxhash64(F.col("rid"), F.lit(int(seed)), F.lit(it)),
+                    F.lit(1_000_000),
+                )
+                < F.lit(int(batch_fraction * 1_000_000))
+            )
+        j = touch_it.join(weights, ["m", "key"])
+        asm = j.groupBy("rid").agg(
+            F.max(F.when(F.col("role") == 0, F.col("key"))).alias("tk"),
+            F.first(F.when(F.col("role") == 0, F.col("vec")), ignorenulls=True).alias("tu"),
+            F.max(F.when(F.col("role") == 1, F.col("key"))).alias("ck"),
+            F.first(F.when(F.col("role") == 1, F.col("vec")), ignorenulls=True).alias("cv"),
+            F.collect_list(
+                F.when(F.col("role") == 2, F.struct("key", "vec"))
+            ).alias("negs"),
+        )
+        partials = asm.mapInPandas(grad_part, "m int, i long, g array<double>")
+        summed = _reduce_partials(partials, dim).localCheckpoint(eager=True)
+        meta = {r["m"]: r["g"] for r in summed.where(F.col("m") >= 2).collect()}
+        n_eff = int(meta[3][0]) if batch_fraction is not None else n_rows
+        n_eff = max(n_eff, 1)
+        grads = summed.where(F.col("m") <= 1).select(
+            "m", F.col("i").alias("key"), F.col("g").alias("_g")
+        )
+        step = float(lr / n_eff)
+        weights = (
+            weights.join(grads, ["m", "key"], "left")
+            .select(
+                "m",
+                "key",
+                F.when(F.col("_g").isNull(), F.col("vec"))
+                .otherwise(
+                    F.zip_with("vec", "_g", lambda u_, g_: u_ - F.lit(step) * g_)
+                )
+                .alias("vec"),
+            )
+        )
+        weights = ckpt(weights, eager=True)
+        losses.append(meta[2][0] / n_eff)
+    return weights, losses
+
+
+def sharded_embeddings(weights: DataFrame, h3_col: str = "h3") -> DataFrame:
+    """Project a sharded trainer's weight table to (h3, embedding) —
+    the input-matrix rows, the same table :func:`embeddings_table`
+    builds from the dense path's arrays."""
+    return weights.where(F.col("m") == 0).select(
+        F.col("key").alias(h3_col), F.col("vec").alias("embedding")
+    )
 
 
 def _reduce_partials(partials: DataFrame, dim: int | None = None) -> DataFrame:
