@@ -72,15 +72,22 @@ def write_table(
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
 
-    spark = df.sparkSession
-    back = spark.read.parquet(path)
+    # per-partition counts from parquet FOOTERS (round-4 fix: the old
+    # code re-read the just-written table with a Spark groupBy.count —
+    # a full second scan per commit at scale; commit_table already used
+    # footer counts, ported here). Schema comes from the written frame
+    # (the footers carry the same columns minus the partition dirs).
     if parts:
-        counts = {str(r["h3_p4"]): r["n"] for r in back.groupBy("h3_p4").agg(F.count(F.lit(1)).alias("n")).collect()}
+        counts = {
+            d.split("=", 1)[1]: _parquet_row_count(os.path.join(path, d))
+            for d in os.listdir(path)
+            if d.startswith(f"{parts[0]}=")
+        }
     else:
-        counts = {"_all": back.count()}
+        counts = {"_all": _parquet_row_count(path)}
     snapshot = {
         "ts": time.time(),
-        "schema": back.schema.jsonValue(),
+        "schema": out.schema.jsonValue(),
         "partition_spec": parts,
         "partition_row_counts": counts,
         "total_rows": int(sum(counts.values())),

@@ -151,6 +151,78 @@ class TestTopKPlans:
         assert "pmod" in plan and "xxhash64" in plan
 
 
+class TestDynamicPartitionPruning:
+    def test_dpp_reenabled_session_prunes_nonchain_join(self, spark, tmp_path):
+        # round-4 verdict task: the engine's session builder disables
+        # DPP globally (plans/session.py — its planning rule walks the
+        # H3 encode chain's alias stacks exponentially). Mixed workloads
+        # run chain-free partitioned-fact jobs in a SEPARATE session
+        # with the conf back on (get_spark(extra={...: "true"}) builds
+        # one on a cluster; here a newSession() with the same
+        # session-scoped SQL conf, so the shared test session stays
+        # untouched). Pin that such a session actually plans a
+        # DynamicPruning subquery on a partitioned fact x filtered dim
+        # join with NO encode chain involved.
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        assert (
+            spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+            == "false"
+        ), "newSession leaked conf into the shared session"
+
+        fact_path = str(tmp_path / "fact")
+        (
+            s2.range(20_000)
+            .selectExpr("id", "CAST(id % 40 AS INT) AS bucket")
+            .write.partitionBy("bucket")
+            .parquet(fact_path)
+        )
+        fact = s2.read.parquet(fact_path)
+        dim = s2.range(40).selectExpr(
+            "CAST(id AS INT) AS bucket", "id * 10 AS dim_val"
+        )
+        q = fact.join(dim.where(F.col("dim_val") < 50), "bucket").groupBy(
+            "bucket"
+        ).count()
+        plan = plan_of(q)
+        assert "dynamicpruning" in plan.lower(), plan
+
+
+class TestWriteTableFooterCounts:
+    def test_counts_from_footers_no_rescan(self, spark, tmp_path, monkeypatch):
+        # round-4 verdict fix: write_table used to re-read the
+        # just-written table with a Spark groupBy.count for the snapshot
+        # counts — a full second scan per commit at scale. Counts now
+        # come from parquet footers like commit_table's. Pin by making
+        # any post-write spark.read explode, then check the counts
+        # against an independent read.
+        from pyspark.sql import SparkSession
+
+        from hex2vec_spark.operators.spatial import assign_h3
+        from hex2vec_spark.sources.iceberg_lite import write_table
+        from hex2vec_spark.sources.synth import images_table
+
+        df = assign_h3(images_table(spark, 300), res=8).select("image_id", "h3")
+        df = df.localCheckpoint(eager=True)  # materialize before the read ban
+        tbl = str(tmp_path / "tbl")
+
+        def _no_read(self):
+            raise AssertionError("write_table re-read the table it just wrote")
+
+        monkeypatch.setattr(SparkSession, "read", property(_no_read))
+        try:
+            snap = write_table(df, tbl, partition_res=4)
+        finally:
+            monkeypatch.undo()
+        assert snap["total_rows"] == 300
+        actual = {
+            str(r["h3_p4"]): r["n"]
+            for r in spark.read.parquet(tbl)
+            .groupBy("h3_p4").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert snap["partition_row_counts"] == actual
+
+
 class TestTimeTravel:
     def test_snapshot_history_and_time_travel(self, spark, tmp_path):
         from hex2vec_spark.operators.spatial import assign_h3
