@@ -173,22 +173,44 @@ def main() -> int:
     res = int(os.environ.get("BENCH_RES", "9"))
     input_path = ensure_input(n_images, res)
 
-    probe = host_probe()
-    p_2_8 = probe[2] / probe[8]
-    p_8_32 = probe[8] / probe[32]
-
-    results = {c: run_level(c, input_path, res) for c in (2, 8, 32)}
-    t2, t8, t32 = results[2], results[8], results[32]
-
     # the stated N vs 4N pair at 4x the rows: fixed per-job costs
     # (broadcast build, stage planning — ~1s, Amdahl serial) amortize
     big_mult = 4
-    tb8 = run_level(8, input_path, res, mult=big_mult)
-    tb32 = run_level(32, input_path, res, mult=big_mult)
-    eff_8_32 = (tb8 / tb32) / 4.0
-    eff_8_32_norm = (tb8 / tb32) / p_8_32
-    eff_2_8 = (t2 / t8) / 4.0
-    eff_2_8_norm = (t2 / t8) / p_2_8
+    # SCALE_TRIALS > 1 repeats the WHOLE measurement (probe + all
+    # levels + the 4x pair) and reports min/median/max — round-4
+    # verdict fix: the committed scaling story must be ONE measurement
+    # with spread, not whichever single run a doc happened to quote
+    # (this VM jitters ±5-10% run to run).
+    trials_n = int(os.environ.get("SCALE_TRIALS", "1"))
+    trials: list[dict] = []
+    for _ in range(trials_n):
+        probe = host_probe()
+        tr = {
+            "p_2_8": probe[2] / probe[8],
+            "p_8_32": probe[8] / probe[32],
+        }
+        for c in (2, 8, 32):
+            tr[f"t{c}"] = run_level(c, input_path, res)
+        tr["tb8"] = run_level(8, input_path, res, mult=big_mult)
+        tr["tb32"] = run_level(32, input_path, res, mult=big_mult)
+        tr["eff_8_32"] = (tr["tb8"] / tr["tb32"]) / 4.0
+        tr["eff_8_32_norm"] = (tr["tb8"] / tr["tb32"]) / tr["p_8_32"]
+        tr["eff_2_8"] = (tr["t2"] / tr["t8"]) / 4.0
+        tr["eff_2_8_norm"] = (tr["t2"] / tr["t8"]) / tr["p_2_8"]
+        trials.append(tr)
+
+    def _spread(key: str) -> tuple[float, float, float]:
+        vals = sorted(t[key] for t in trials)
+        return vals[0], vals[len(vals) // 2], vals[-1]
+
+    # headline tables quote the MEDIAN trial (by normalized 8->32
+    # efficiency) so every number in them comes from one coherent run
+    mid = sorted(trials, key=lambda t: t["eff_8_32_norm"])[len(trials) // 2]
+    t2, t8, t32 = mid["t2"], mid["t8"], mid["t32"]
+    tb8, tb32 = mid["tb8"], mid["tb32"]
+    p_2_8, p_8_32 = mid["p_2_8"], mid["p_8_32"]
+    eff_8_32, eff_8_32_norm = mid["eff_8_32"], mid["eff_8_32_norm"]
+    eff_2_8, eff_2_8_norm = mid["eff_2_8"], mid["eff_2_8_norm"]
 
     dscale = run_data_scale(input_path, res)
     summary = {
@@ -206,6 +228,11 @@ def main() -> int:
         "scaling_efficiency_8_to_32_host_normalized": round(eff_8_32_norm, 3),
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_2_to_8_host_normalized": round(eff_2_8_norm, 3),
+        "trials": trials_n,
+        "spread": {
+            k: [round(v, 3) for v in _spread(k)]
+            for k in ("eff_8_32", "eff_8_32_norm", "eff_2_8", "eff_2_8_norm")
+        },
         "target": 0.8,
         "data_scale_throughput": {
             str(m): round(n_images * m / s, 1) for m, s in sorted(dscale.items())
@@ -264,6 +291,20 @@ speedup at the same pair):
 
 * local[8] -> local[32]: **{eff_8_32_norm:.3f}**
 * local[2] -> local[8] (host-linear pair, raw {eff_2_8:.3f}): **{eff_2_8_norm:.3f}**
+
+## Measurement spread ({trials_n} full trial{"s" if trials_n != 1 else ""})
+
+Every number above comes from ONE coherent trial (the median by
+normalized 8->32 efficiency). Across all trials (probe and engine both
+re-measured each time; quote THESE numbers, with the spread, anywhere
+the scaling story is cited):
+
+| metric | min | median | max |
+| --- | --- | --- | --- |
+| 8->32 raw efficiency | {_spread("eff_8_32")[0]:.3f} | {_spread("eff_8_32")[1]:.3f} | {_spread("eff_8_32")[2]:.3f} |
+| 8->32 host-normalized | {_spread("eff_8_32_norm")[0]:.3f} | {_spread("eff_8_32_norm")[1]:.3f} | {_spread("eff_8_32_norm")[2]:.3f} |
+| 2->8 raw efficiency | {_spread("eff_2_8")[0]:.3f} | {_spread("eff_2_8")[1]:.3f} | {_spread("eff_2_8")[2]:.3f} |
+| 2->8 host-normalized | {_spread("eff_2_8_norm")[0]:.3f} | {_spread("eff_2_8_norm")[1]:.3f} | {_spread("eff_2_8_norm")[2]:.3f} |
 
 Reading: at the pair where the host delivers parallelism linearly
 (2->8), the engine scales at ~{eff_2_8:.2f} raw; at 8->32 the engine

@@ -736,6 +736,43 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _asof_variant(spark, sf_dir, direction, allow_exact):
+    # shared body for the round-4 asof variants (forward / strict
+    # inequality) — same click/purchase framing as _q_asof_join, same
+    # union-timeline plan, only the scan order / tie rank differ
+    from hex2vec_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        clicks, purchases, by="user_id", right_payload=["value"],
+        direction=direction, allow_exact_matches=allow_exact,
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+        F.col("asof_value").alias("matched_value"),
+    )
+
+
+def _q_asof_join_forward(spark, sf_dir):
+    # ASOF forward: each click matched to the user's NEXT purchase at or
+    # after it (DuckDB: ASOF LEFT JOIN ON l.ts <= r.ts)
+    return _asof_variant(spark, sf_dir, "forward", True)
+
+
+def _q_asof_join_strict(spark, sf_dir):
+    # ASOF backward with allow_exact_matches=False: strictly-prior
+    # purchase only (DuckDB: ASOF LEFT JOIN ON l.ts > r.ts)
+    return _asof_variant(spark, sf_dir, "backward", False)
+
+
 def _q_moving_avg(spark, sf_dir):
     # W: sliding-frame window aggregate (ROWS BETWEEN 3 PRECEDING)
     from pyspark.sql import Window
@@ -1368,6 +1405,32 @@ def _q_skipgram_embed(spark, sf_dir):
     return out.select("h3", F.size("embedding").alias("dim"))
 
 
+def _q_skipgram_embed_sharded(spark, sf_dir):
+    # round-4 scale path: SAME neighbor dataset as skipgram_embed, but
+    # weights cluster-resident as a (m, key, vec) DataFrame — no dense
+    # V x dim array on the driver (operators/embed.skipgram_fit_sharded;
+    # trajectory-vs-dense equality pinned in tests/test_embed.py).
+    # Rows-only (iterative, not SQL-expressible).
+    from hex2vec_spark.operators.embed import sharded_embeddings, skipgram_fit_sharded
+    from hex2vec_spark.operators.neighbors import context_pairs, sample_negatives
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    corpus = (
+        assign_h3(_images(spark, 1000), res=ENTRY_RES).select("h3").distinct()
+    ).localCheckpoint(eager=False)
+    pairs = context_pairs(corpus, k=1, materialize=False)
+    negs = (
+        sample_negatives(corpus, n_per_input=2, k_excl=2, materialize=False)
+        .groupBy("input_h3")
+        .agg(F.sort_array(F.collect_list("neg_h3")).alias("neg_h3s"))
+    )
+    ds = pairs.join(negs, "input_h3", "left")
+    weights, _losses = skipgram_fit_sharded(ds, dim=4, n_iter=2, lr=1.0, seed=11)
+    return sharded_embeddings(weights).select(
+        "h3", F.size("embedding").alias("dim")
+    )
+
+
 def _q_autoencoder_embed(spark, sf_dir):
     # reference's second embedding method (autoencoder.py:1-56): linear
     # AE over the embeddings table, rows-only (iterative, not
@@ -1518,6 +1581,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
         "asof_join": _q_asof_join,
+        "asof_join_forward": _q_asof_join_forward,
+        "asof_join_strict": _q_asof_join_strict,
         "moving_avg": _q_moving_avg,
         "cumsum_running": _q_cumsum_running,
         "lag_delta": _q_lag_delta,
@@ -1561,6 +1626,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "skipgram_embed": _q_skipgram_embed,
+        "skipgram_embed_sharded": _q_skipgram_embed_sharded,
         "autoencoder_embed": _q_autoencoder_embed,
         "combined_embed": _q_combined_embed,
         "keep_canonical_graph": _q_keep_canonical_graph,
@@ -1834,6 +1900,30 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'purchase'
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_forward": """
+            SELECT l.event_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS asof_ts_us,
+                   r.value AS matched_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "asof_join_strict": """
+            SELECT l.event_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS asof_ts_us,
+                   r.value AS matched_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts > r.ts
         """,
         "moving_avg": """
             SELECT event_id,

@@ -2,7 +2,7 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "images_per_sec", "queries": {...}, "sf": ...}
 
 Primary metric (BASELINE.json): images tiled+joined per second — the
 flagship scan -> h3-encode -> broadcast tiling join -> salted feature
@@ -160,7 +160,9 @@ def main() -> int:
         out = {
             "metric": "images_tiled_joined_per_sec",
             "value": round(throughput, 1),
-            "unit": "sec",
+            # the headline value is a THROUGHPUT; per-query numbers in
+            # "queries"/"queries_passes" are wall-clock seconds
+            "unit": "images_per_sec",
             "queries": qtimes,
             "queries_passes": qtimes_all,
             "flagship_spread": flagship_spread,
