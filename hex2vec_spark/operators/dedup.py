@@ -159,14 +159,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle: int = 3,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs: signature ->
     band keys -> self-join per band bucket -> distinct pairs.
 
-    ``materialize`` localCheckpoints the banded signatures before the
+    ``materialize`` checkpoints the banded signatures before the
     self-join: a self-join recomputes its input lineage on BOTH sides,
     so without it the MinHash UDF (the dominant cost at scale) runs
-    twice over the corpus.
+    twice over the corpus. ``checkpoint_dir`` makes that materialization
+    a RELIABLE ``df.checkpoint()`` (executor loss mid-join recovers
+    instead of rehashing the corpus — operators/ckpt.Checkpointer);
+    default is executor-local blocks.
 
     Shingle hashing uses _stable_hash (FNV-1a), never python's ``hash``,
     which is seed-randomized per process and differs across executors.
@@ -186,7 +190,11 @@ def minhash_lsh_pairs(
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("key")) for b in range(bands)])).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if materialize:
-        stacked = stacked.localCheckpoint(eager=False)
+        from .ckpt import Checkpointer
+
+        stacked = Checkpointer(df.sparkSession, checkpoint_dir, every=1)(
+            stacked, eager=False
+        )
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -240,13 +248,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via explode + join + count
     algebra (SQL-expressible; the oracle computes the same thing).
     |A ∩ B| from a shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     Quadratic only within shared-shingle groups. ``materialize``
-    localCheckpoints the gram table, which is otherwise recomputed three
-    times (both self-join sides + the size table)."""
+    checkpoints the gram table, which is otherwise recomputed three
+    times (both self-join sides + the size table); ``checkpoint_dir``
+    makes it a reliable ``df.checkpoint()`` (operators/ckpt)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = df.select(
         F.col(id_col),
@@ -258,7 +268,11 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     ).distinct()
     if materialize:
-        grams = grams.localCheckpoint(eager=False)
+        from .ckpt import Checkpointer
+
+        grams = Checkpointer(df.sparkSession, checkpoint_dir, every=1)(
+            grams, eager=False
+        )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.alias("g1")
     g2 = grams.alias("g2")
@@ -328,6 +342,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: banded random-hyperplane LSH (OR over
     ``n_tables`` independent tables of ``n_planes`` planes each), join
@@ -366,8 +381,11 @@ def embedding_near_dup(
         F.explode(F.array(*table_structs)).alias("tk"),
     ).select(id_col, "v", "nrm", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
     # self-join: materialize the signatures once (n_tables*n_planes dot
-    # products per row would otherwise run on both sides)
-    sig = sig.localCheckpoint(eager=False)
+    # products per row would otherwise run on both sides); reliable
+    # when a checkpoint_dir is given (operators/ckpt)
+    from .ckpt import Checkpointer
+
+    sig = Checkpointer(emb.sparkSession, checkpoint_dir, every=1)(sig, eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

@@ -314,6 +314,30 @@ class TestPlantedDups:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_minhash_reliable_checkpoint_identical(self, spark, tmp_path):
+        # round-4: checkpoint_dir routes the signature materialization
+        # through a reliable df.checkpoint() — same pairs, files on disk
+        import os
+
+        from hex2vec_spark.operators.dedup import minhash_lsh_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep green forest to hide from every hunter")
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("hunter", "tracker"),
+                         "an entirely different document about spark shuffles"],
+            })
+        )
+        ckdir = str(tmp_path / "ck")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, checkpoint_dir=ckdir).collect()
+        }
+        assert (1, 2) in got and (1, 3) not in got
+        assert [f for _, _, fs in os.walk(ckdir) for f in fs]
+
     def test_phash_near_dup_recall_guarantee(self, spark):
         # round-1 recall hole: single top-16-bit bucket missed any pair
         # whose differing bits touched the prefix. The pigeonhole
