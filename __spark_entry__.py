@@ -782,6 +782,67 @@ def _q_moving_avg(spark, sf_dir):
     return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg4"))
 
 
+def _q_ntile_buckets(spark, sf_dir):
+    # W (round 4): NTILE quartiles per user by event time — the
+    # remaining ranking function family member not yet oracled
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.ntile(4).over(w).alias("bucket"))
+
+
+def _q_first_last_frame(spark, sf_dir):
+    # W (round 4): first/last value over an explicit sliding frame
+    # (value-picking window functions, exact — no float accumulation)
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "event_id",
+        F.first("value").over(w).alias("fv"),
+        F.last("value").over(w).alias("lv"),
+    )
+
+
+def _q_range_frame_count(spark, sf_dir):
+    # W (round 4): RANGE frame keyed on the VALUE axis (how many events
+    # of the same type lie within 10.0 below this one's value) — count,
+    # not sum, so both engines are exact under ties and float order
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type").orderBy("value")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).cast("long").alias("n_within")
+    )
+
+
+def _q_array_setops(spark, sf_dir):
+    # F (round 4): array set algebra — distinct head-words vs tail-words
+    # of each document, sizes of intersect/except/union (sizes compare
+    # exactly; element order differs by engine)
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    head = F.array_distinct(F.slice(words, 1, 5))
+    tail = F.array_distinct(
+        F.slice(words, F.greatest(F.size(words) - F.lit(4), F.lit(1)), 5)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(head, tail)).cast("long").alias("n_common"),
+        F.size(F.array_except(head, tail)).cast("long").alias("n_head_only"),
+        F.size(F.array_union(head, tail)).cast("long").alias("n_all"),
+    )
+
+
 def _q_cumsum_running(spark, sf_dir):
     # W: running total; value cast to DECIMAL so the cumulative sum is
     # EXACT on both engines (float accumulation order would differ)
@@ -1584,6 +1645,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_strict": _q_asof_join_strict,
         "moving_avg": _q_moving_avg,
+        "ntile_buckets": _q_ntile_buckets,
+        "first_last_frame": _q_first_last_frame,
+        "range_frame_count": _q_range_frame_count,
+        "array_setops": _q_array_setops,
         "cumsum_running": _q_cumsum_running,
         "lag_delta": _q_lag_delta,
         "dense_rank_filter": _q_dense_rank_filter,
@@ -1931,6 +1996,46 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg4
             FROM events
+        """,
+        "ntile_buckets": """
+            SELECT event_id,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS bucket
+            FROM events
+        """,
+        "first_last_frame": """
+            SELECT event_id,
+                   FIRST_VALUE(value) OVER w AS fv,
+                   LAST_VALUE(value) OVER w AS lv
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+        "range_frame_count": """
+            SELECT event_id,
+                   COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                                  RANGE BETWEEN 10 PRECEDING
+                                  AND CURRENT ROW) AS n_within
+            FROM events
+        """,
+        "array_setops": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(w[1:5]) AS head,
+                       list_distinct(
+                           w[greatest(len(w) - 4, 1):len(w)]) AS tail
+                FROM (SELECT doc_id,
+                             string_split(lower(text), ' ') AS w
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(len(list_intersect(head, tail)) AS BIGINT) AS n_common,
+                   CAST(len(list_filter(head,
+                        x -> NOT list_contains(tail, x))) AS BIGINT)
+                       AS n_head_only,
+                   CAST(len(list_distinct(list_concat(head, tail))) AS BIGINT)
+                       AS n_all
+            FROM t
         """,
         "cumsum_running": """
             SELECT event_id,
