@@ -773,6 +773,13 @@ def _q_asof_join_strict(spark, sf_dir):
     return _asof_variant(spark, sf_dir, "backward", False)
 
 
+def _q_asof_join_nearest(spark, sf_dir):
+    # ASOF nearest (round 4): closest purchase in absolute time, exact
+    # tie -> backward (pandas merge_asof rule); DuckDB oracle = two
+    # ASOF joins + a CASE pick
+    return _asof_variant(spark, sf_dir, "nearest", True)
+
+
 def _q_moving_avg(spark, sf_dir):
     # W: sliding-frame window aggregate (ROWS BETWEEN 3 PRECEDING)
     from pyspark.sql import Window
@@ -780,6 +787,61 @@ def _q_moving_avg(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg4"))
+
+
+def _q_date_trunc_counts(spark, sf_dir):
+    # F6 (round 4): calendar bucketing — events per hour
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(
+                F.date_trunc("hour", F.col("ts")).cast("timestamp")
+            ).alias("hour_us")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _q_filtered_sums(spark, sf_dir):
+    # A (round 4): filtered/conditional aggregates per event type
+    # value cast to DECIMAL before summing so both engines accumulate
+    # EXACTLY (float addition order differs engine to engine)
+    ev = _load(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 50, 1)).cast("long").alias("n_big"),
+        F.sum(F.when(F.col("value") > 50, dv)).cast("double").alias("sum_big"),
+        F.count(F.when(F.col("value") <= 50, 1)).cast("long").alias("n_small"),
+        F.sum(F.when(F.col("value") <= 50, dv)).cast("double").alias("sum_small"),
+    )
+
+
+def _q_string_agg_ordered(spark, sf_dir):
+    # A/F1 (round 4): deterministic ordered string aggregation — the
+    # engine sorts the collected list (collect_list order is
+    # nondeterministic), the oracle uses ORDER BY inside string_agg
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .groupBy("lang")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("source"))), ","
+            ).alias("sources")
+        )
+    )
+
+
+def _q_regex_replace_count(spark, sf_dir):
+    # F1 (round 4): regexp_replace + per-row match counting (digit runs
+    # collapsed; counts via the split-size identity so both engines use
+    # their native regex only for splitting/replacing)
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]+", "~")).alias("len_collapsed"),
+        (F.size(F.split(F.col("text"), "[aeiou]+")) - 1).cast("long").alias("n_vowel_runs"),
+    )
 
 
 def _q_ntile_buckets(spark, sf_dir):
@@ -1644,8 +1706,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "asof_join_strict": _q_asof_join_strict,
+        "asof_join_nearest": _q_asof_join_nearest,
         "moving_avg": _q_moving_avg,
         "ntile_buckets": _q_ntile_buckets,
+        "date_trunc_counts": _q_date_trunc_counts,
+        "filtered_sums": _q_filtered_sums,
+        "string_agg_ordered": _q_string_agg_ordered,
+        "regex_replace_count": _q_regex_replace_count,
         "first_last_frame": _q_first_last_frame,
         "range_frame_count": _q_range_frame_count,
         "array_setops": _q_array_setops,
@@ -1978,6 +2045,36 @@ def oracle_sql() -> dict[str, str]:
                             GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
+        "asof_join_nearest": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, MAX(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+                 b AS (SELECT l.event_id, l.ts,
+                              r.ts AS bts, r.value AS bval
+                       FROM l ASOF LEFT JOIN r
+                         ON l.user_id = r.user_id AND l.ts >= r.ts),
+                 f AS (SELECT l.event_id,
+                              r.ts AS fts, r.value AS fval
+                       FROM l ASOF LEFT JOIN r
+                         ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT b.event_id,
+                   epoch_us(b.ts) AS ts_us,
+                   CASE WHEN bts IS NULL THEN epoch_us(fts)
+                        WHEN fts IS NULL THEN epoch_us(bts)
+                        WHEN epoch_us(b.ts) - epoch_us(bts)
+                             <= epoch_us(fts) - epoch_us(b.ts)
+                             THEN epoch_us(bts)
+                        ELSE epoch_us(fts) END AS asof_ts_us,
+                   CASE WHEN bts IS NULL THEN fval
+                        WHEN fts IS NULL THEN bval
+                        WHEN epoch_us(b.ts) - epoch_us(bts)
+                             <= epoch_us(fts) - epoch_us(b.ts)
+                             THEN bval
+                        ELSE fval END AS matched_value
+            FROM b JOIN f USING (event_id)
+        """,
         "asof_join_strict": """
             SELECT l.event_id,
                    epoch_us(l.ts) AS ts_us,
@@ -1996,6 +2093,35 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg4
             FROM events
+        """,
+        "date_trunc_counts": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "filtered_sums": """
+            SELECT event_type,
+                   CAST(COUNT(*) FILTER (value > 50) AS BIGINT) AS n_big,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (value > 50) AS DOUBLE) AS sum_big,
+                   CAST(COUNT(*) FILTER (value <= 50) AS BIGINT) AS n_small,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (value <= 50) AS DOUBLE) AS sum_small
+            FROM events GROUP BY event_type
+        """,
+        "string_agg_ordered": """
+            SELECT lang,
+                   string_agg(source, ',' ORDER BY source) AS sources
+            FROM documents WHERE doc_id % 50 = 0
+            GROUP BY lang
+        """,
+        "regex_replace_count": """
+            SELECT doc_id,
+                   length(regexp_replace(text, '[aeiou]+', '~', 'g'))
+                       AS len_collapsed,
+                   CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1
+                        AS BIGINT) AS n_vowel_runs
+            FROM documents
         """,
         "ntile_buckets": """
             SELECT event_id,

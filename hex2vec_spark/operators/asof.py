@@ -59,16 +59,23 @@ def asof_join(
     * ``backward`` (default): largest right_time <= left_time
       (< when ``allow_exact_matches=False``)
     * ``forward``: smallest right_time >= left_time (> when not exact)
+    * ``nearest``: whichever of those two candidates is closest in
+      absolute time distance; an exact tie picks the BACKWARD one
+      (pandas' rule)
 
-    Both reuse the SAME union-timeline plan — only the sort direction
+    All reuse the SAME union-timeline plan — only the sort direction
     and the right rows' tie rank change: the timeline is scanned in
     match order (asc for backward, desc for forward), and right rows
     sort before left rows at equal timestamps exactly when an equal
     timestamp qualifies (side 0 < 1), after them when it must not
-    (side 2 > 1). Still one shuffle, zero Join nodes.
+    (side 2 > 1). ``nearest`` carries BOTH directions over the same
+    partitioning — Spark reuses the single Exchange for the two window
+    sorts — then picks per row. Still one shuffle, zero Join nodes.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (by, right_time)]
 
@@ -103,16 +110,44 @@ def asof_join(
     # a left row with a NULL timestamp must scan before any right row
     # so its carry is NULL — under desc_nulls_last it would sort after
     # everything and match the smallest right timestamp.
-    t_order = (
-        F.col("_asof_t").asc_nulls_first() if direction == "backward"
-        else F.col("_asof_t").desc_nulls_first()
-    )
-    w = (
-        Window.partitionBy(by)
-        .orderBy(t_order, F.col("_asof_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn("_asof_hit", F.last("_asof_pay", ignorenulls=True).over(w))
+    def _w(order):
+        return (
+            Window.partitionBy(by)
+            .orderBy(order, F.col("_asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    w_back = _w(F.col("_asof_t").asc_nulls_first())
+    w_fwd = _w(F.col("_asof_t").desc_nulls_first())
+    if direction == "nearest":
+        # both carries over ONE hash partitioning (Spark reuses the
+        # Exchange across the two window sorts), then a per-row pick:
+        # closest absolute distance, exact tie -> backward (pandas)
+        def _tnum(c):
+            t = u.schema["_asof_t"].dataType.simpleString()
+            if "timestamp" in t:
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        carried = (
+            u.withColumn("_hb", F.last("_asof_pay", ignorenulls=True).over(w_back))
+            .withColumn("_hf", F.last("_asof_pay", ignorenulls=True).over(w_fwd))
+        )
+        lt = _tnum(F.col("_asof_t"))
+        bt = _tnum(F.col(f"_hb.{prefix}{right_time}"))
+        ft = _tnum(F.col(f"_hf.{prefix}{right_time}"))
+        hit = (
+            F.when(F.col("_hb").isNull(), F.col("_hf"))
+            .when(F.col("_hf").isNull(), F.col("_hb"))
+            .when(lt - bt <= ft - lt, F.col("_hb"))
+            .otherwise(F.col("_hf"))
+        )
+        carried = carried.withColumn("_asof_hit", hit)
+    else:
+        w = w_back if direction == "backward" else w_fwd
+        carried = u.withColumn(
+            "_asof_hit", F.last("_asof_pay", ignorenulls=True).over(w)
+        )
     out_cols = list(left.columns) + [
         F.col(f"_asof_hit.{prefix}{right_time}").alias(f"{prefix}{right_time}")
     ] + [F.col(f"_asof_hit.{prefix}{c}").alias(f"{prefix}{c}") for c in right_payload]

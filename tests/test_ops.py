@@ -765,6 +765,7 @@ class TestAsofJoin:
 
     @pytest.mark.parametrize("direction,exact", [
         ("backward", False), ("forward", True), ("forward", False),
+        ("nearest", True), ("nearest", False),
     ])
     def test_variants_match_pandas_merge_asof(self, spark, direction, exact):
         # round-4: the full merge_asof surface, each variant vs pandas
@@ -804,7 +805,7 @@ class TestAsofJoin:
 
         left = spark.range(1).selectExpr("id as k", "id as ts")
         with pytest.raises(ValueError, match="direction"):
-            asof_join(left, left, by="k", direction="nearest")
+            asof_join(left, left, by="k", direction="sideways")
 
     def test_one_shuffle_no_join_explosion(self, spark):
         # plan shape: union + window — no Join node at all, exactly one
@@ -818,6 +819,16 @@ class TestAsofJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange") == 1
+        # nearest carries BOTH directions: two Windows/Sorts must still
+        # share the single hash Exchange (round 4)
+        near = asof_join(
+            left, right, by="k", right_payload=["v"], direction="nearest"
+        )
+        plan_n = near._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan_n
+        assert plan_n.count("Exchange") == 1
+        assert plan_n.count("Window") == 2
+
     def test_streaming_sessions_match_batch_closed_set(self, spark, tmp_path):
         # append-mode streaming sessionization emits exactly the sessions
         # the final watermark closed, and each matches the batch result

@@ -223,6 +223,55 @@ class TestWriteTableFooterCounts:
         assert snap["partition_row_counts"] == actual
 
 
+class TestShardedTrainerPlan:
+    def test_touch_side_needs_no_exchange_or_sort(self, spark):
+        # round-4 sharded trainer scale shape: the static touch skeleton
+        # is repartitioned + sorted by (m, key) BEFORE its checkpoint,
+        # and checkpoint preserves outputPartitioning/Ordering — so the
+        # per-iteration weights join (forced to SMJ here) must shuffle
+        # and sort ONLY the V-sized weights side. Exactly 2 exchanges:
+        # weights into the join + the pairs-scale groupBy(rid).
+        from pyspark.sql import functions as F
+
+        from hex2vec_spark.operators.ckpt import Checkpointer
+
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        ckpt = Checkpointer(s2, None, 5)
+        base = s2.range(5000).select(
+            (F.col("id") % 300).alias("t"),
+            ((F.col("id") + 7) % 300).alias("c"),
+            F.col("id").alias("rid"),
+        )
+        touch = base.select(
+            "rid",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("m"), F.col("t").alias("key")),
+                    F.struct(F.lit(1).alias("m"), F.col("c").alias("key")),
+                )
+            ).alias("w"),
+        ).select("rid", "w.m", "w.key")
+        touch = ckpt.reliable(
+            touch.repartition("m", "key").sortWithinPartitions("m", "key"),
+            eager=True,
+        )
+        weights = (
+            touch.select("key").distinct()
+            .crossJoin(s2.createDataFrame([(0,), (1,)], "m int"))
+            .select("m", "key", F.array_repeat(F.lit(0.0), 4).alias("vec"))
+        )
+        weights = ckpt.reliable(weights, eager=True)
+        asm = touch.join(weights, ["m", "key"]).groupBy("rid").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        plan = asm._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 1, plan
+        assert plan.count("Exchange") == 2, plan  # weights + groupBy(rid)
+        assert plan.count("Sort ") == 1, plan     # weights side only
+
+
 class TestTimeTravel:
     def test_snapshot_history_and_time_travel(self, spark, tmp_path):
         from hex2vec_spark.operators.spatial import assign_h3
