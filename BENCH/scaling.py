@@ -261,6 +261,11 @@ the identical physical job.
 | local[8] | {t8:.2f} | {n_images/t8:,.0f} |
 | local[32] | {t32:.2f} | {n_images/t32:,.0f} |
 
+(These are the median TRIAL's single runs, interleaved with host-probe
+load — they carry the trial's jitter by design. The dedicated flagship
+number is `bench.py`'s warmed best-of-3 on an otherwise idle machine;
+see the data-size table's 1x row below and BENCH_r{{N}}.json.)
+
 ## Scaling (north_rule two-cluster-size criterion)
 
 Sandboxed per the driver instruction as the same job at two parallelism

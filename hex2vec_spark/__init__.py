@@ -31,6 +31,17 @@ def __getattr__(name):
         "build_ivf_index": "operators.knn",
         "query_ivf_index": "operators.knn",
         "salted_equi_join": "operators.joins",
+        "asof_join": "operators.asof",
+        "skipgram_fit": "operators.embed",
+        "skipgram_fit_sharded": "operators.embed",
+        "sharded_embeddings": "operators.embed",
+        "autoencoder_fit": "operators.embed",
+        "combined_fit": "operators.embed",
+        "encode_features": "operators.embed",
+        "connected_components": "operators.components",
+        "keep_canonical": "operators.components",
+        "Checkpointer": "operators.ckpt",
+        "sessionize": "operators.sessions",
         "images_table": "sources.synth",
         "commit_table": "sources.iceberg_lite",
         "read_table": "sources.iceberg_lite",
