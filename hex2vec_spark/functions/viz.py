@@ -194,3 +194,128 @@ def load_config(path: str) -> dict | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+# ------------------------------------------------- SVG choropleth render
+
+# 16-stop sample of the viridis colormap (the reference's GeoPandas
+# default ramp; the underlying viridis data is published CC0)
+_VIRIDIS16 = [
+    (68, 1, 84), (72, 26, 108), (71, 47, 125), (65, 68, 135),
+    (57, 86, 140), (49, 104, 142), (42, 120, 142), (35, 136, 142),
+    (31, 152, 139), (34, 168, 132), (53, 183, 121), (84, 197, 104),
+    (122, 209, 81), (165, 219, 54), (210, 226, 27), (253, 231, 37),
+]
+
+# qualitative palette for categorical columns (reference visualize_df
+# plots `label` categories; 10 well-separated hues)
+_QUAL10 = [
+    "#4c78a8", "#f58518", "#54a24b", "#e45756", "#72b7b2",
+    "#b279a2", "#eeca3b", "#9d755d", "#bab0ac", "#d67195",
+]
+
+
+def _viridis_hex(frac: float) -> str:
+    """Piecewise-linear interpolation through the 16 viridis stops."""
+    f = min(max(float(frac), 0.0), 1.0) * (len(_VIRIDIS16) - 1)
+    i = int(f)
+    j = min(i + 1, len(_VIRIDIS16) - 1)
+    t = f - i
+    rgb = tuple(
+        int(round(_VIRIDIS16[i][k] + t * (_VIRIDIS16[j][k] - _VIRIDIS16[i][k])))
+        for k in range(3)
+    )
+    return "#%02x%02x%02x" % rgb
+
+
+def choropleth_svg(
+    pdf: pd.DataFrame,
+    value_col: str = "label",
+    h3_col: str = "h3",
+    width: int = 800,
+    alpha: float = 0.6,
+    legend: bool = True,
+) -> str:
+    """Aggregated (h3, value) pandas frame -> a self-contained SVG
+    choropleth of hexagon polygons in EPSG:3857 — the dependency-free
+    analog of the reference's `visualize_df` (visualize.py:33-46:
+    GeoPandas `.to_crs(epsg=3857).plot(column=..., legend=True,
+    alpha=0.6)`; no matplotlib/contextily ships in a cluster engine, so
+    the figure is emitted as SVG markup instead of an Axes).
+
+    Numeric value columns get the viridis ramp + a min/max gradient
+    legend; non-numeric columns get a qualitative palette + swatch
+    legend. Runs driver-side on AGGREGATED results only (one row per
+    cell — vocabulary-sized), like every helper in this module.
+    """
+    from ..hexlib.geom import lonlat_to_mercator_3857
+
+    if len(pdf) == 0:
+        raise ValueError("choropleth_svg needs at least one cell row")
+    cells = pdf[h3_col].to_numpy().astype(np.int64).view(np.uint64)
+    verts = h3core.cell_boundary(cells)  # (n, 6, 2) lat,lng
+    n, k, _ = verts.shape
+    mx, my = lonlat_to_mercator_3857(
+        verts[:, :, 1].ravel(), verts[:, :, 0].ravel()
+    )
+    mx = mx.reshape(n, k)
+    my = my.reshape(n, k)
+
+    vals = pdf[value_col]
+    numeric = pd.api.types.is_numeric_dtype(vals)
+    if numeric:
+        v = vals.to_numpy(dtype=np.float64)
+        lo, hi = float(np.nanmin(v)), float(np.nanmax(v))
+        span = (hi - lo) or 1.0
+        fills = [_viridis_hex((x - lo) / span) for x in v]
+    else:
+        cats = sorted(map(str, vals.dropna().unique()))
+        cmap = {c: _QUAL10[i % len(_QUAL10)] for i, c in enumerate(cats)}
+        fills = [cmap.get(str(x), "#cccccc") for x in vals]
+
+    # fit: mercator bbox -> viewport (SVG y grows downward -> flip)
+    x0, x1 = float(mx.min()), float(mx.max())
+    y0, y1 = float(my.min()), float(my.max())
+    pad = 0.02 * max(x1 - x0, y1 - y0, 1.0)
+    x0, x1, y0, y1 = x0 - pad, x1 + pad, y0 - pad, y1 + pad
+    scale = width / (x1 - x0)
+    height = max(int(round((y1 - y0) * scale)), 1)
+    legend_h = 46 if legend else 0
+
+    def _pt(xm: float, ym: float) -> str:
+        return f"{(xm - x0) * scale:.2f},{(y1 - ym) * scale:.2f}"
+
+    polys = []
+    for i in range(n):
+        pts = " ".join(_pt(float(mx[i, j]), float(my[i, j])) for j in range(k))
+        polys.append(
+            f'<polygon points="{pts}" fill="{fills[i]}" '
+            f'fill-opacity="{alpha}" stroke="none"/>'
+        )
+
+    leg = []
+    if legend and numeric:
+        stops = "".join(
+            f'<stop offset="{p:.0%}" stop-color="{_viridis_hex(p)}"/>'
+            for p in np.linspace(0.0, 1.0, 8)
+        )
+        leg = [
+            f'<defs><linearGradient id="ramp">{stops}</linearGradient></defs>',
+            f'<rect x="10" y="{height + 10}" width="220" height="12" fill="url(#ramp)"/>',
+            f'<text x="10" y="{height + 38}" font-size="12" font-family="sans-serif">{lo:g}</text>',
+            f'<text x="230" y="{height + 38}" font-size="12" font-family="sans-serif" text-anchor="end">{hi:g}</text>',
+        ]
+    elif legend:
+        for i, c in enumerate(cats[:10]):
+            leg.append(
+                f'<rect x="{10 + i * 78}" y="{height + 10}" width="12" height="12" fill="{cmap[c]}"/>'
+                f'<text x="{26 + i * 78}" y="{height + 21}" font-size="12" font-family="sans-serif">{c[:8]}</text>'
+            )
+
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height + legend_h}" viewBox="0 0 {width} {height + legend_h}">'
+        + "".join(polys)
+        + "".join(leg)
+        + "</svg>"
+    )

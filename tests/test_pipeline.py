@@ -387,6 +387,43 @@ class TestViz:
         assert abs(ms["latitude"] - (-0.979)) < 0.1
 
 
+    def test_choropleth_svg_numeric_and_categorical(self, oracle_images):
+        # round-4 presentation-edge parity: the reference's visualize_df
+        # choropleth (EPSG:3857, value-colored hex polygons, legend,
+        # alpha 0.6) as dependency-free SVG. Well-formed XML, one
+        # polygon per cell, ramp endpoints hit the viridis extremes.
+        import xml.etree.ElementTree as ET
+
+        from hex2vec_spark.functions.viz import choropleth_svg
+
+        lat, lng = geotag_np(oracle_images["phash"].to_numpy()[:300])
+        cells = np.unique(h3core.encode(lat, lng, RES))[:40]
+        pdf = pd.DataFrame({
+            "h3": cells.view(np.int64),
+            "count": np.linspace(3.0, 99.0, len(cells)),
+            "label": ["a" if i % 2 else "b" for i in range(len(cells))],
+        })
+        svg = choropleth_svg(pdf, value_col="count")
+        root = ET.fromstring(svg)  # well-formed
+        ns = "{http://www.w3.org/2000/svg}"
+        polys = root.findall(f"{ns}polygon")
+        assert len(polys) == len(cells)
+        fills = [p.get("fill") for p in polys]
+        assert fills[0] == "#440154" and fills[-1] == "#fde725"  # viridis ends
+        assert all(p.get("fill-opacity") == "0.6" for p in polys)
+        assert "linearGradient" in svg and "99" in svg  # legend + max label
+
+        cat = choropleth_svg(pdf, value_col="label")
+        rootc = ET.fromstring(cat)
+        cfills = {p.get("fill") for p in rootc.findall(f"{ns}polygon")}
+        assert len(cfills) == 2  # one color per category
+        assert len(rootc.findall(f"{ns}rect")) == 2  # two swatches
+
+        with pytest.raises(ValueError):
+            choropleth_svg(pdf.iloc[:0], value_col="count")
+
+
+
 class TestStaleBuckets:
     def test_read_stage_excludes_stale_buckets(self, spark, tmp_path):
         from hex2vec_spark.sources.iceberg_lite import read_stage, run_stage
