@@ -42,6 +42,9 @@ def __getattr__(name):
         "keep_canonical": "operators.components",
         "Checkpointer": "operators.ckpt",
         "sessionize": "operators.sessions",
+        "cells_to_geojson": "functions.viz",
+        "choropleth_svg": "functions.viz",
+        "kepler_bundle": "functions.viz",
         "images_table": "sources.synth",
         "commit_table": "sources.iceberg_lite",
         "read_table": "sources.iceberg_lite",
