@@ -388,3 +388,40 @@ class TestShardedSkipgram:
         )
         np.testing.assert_allclose(got, base, rtol=1e-8)
         assert [f for _, _, fs in os.walk(ckdir) for f in fs]
+
+    def test_random_tables_match_dense(self, spark):
+        # property sweep: random (pairs, vocab, negs) shapes — sharded
+        # must track dense(init='hash') on data it was never tuned on,
+        # including ragged/empty negative lists and multi-partition input
+        from hex2vec_spark.operators.embed import (
+            sharded_embeddings,
+            skipgram_fit_sharded,
+        )
+
+        for seed in (1, 2):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(40, 120))
+            vocab_ids = rng.choice(10_000, size=30, replace=False)
+            rows = []
+            for _ in range(n):
+                t, c = rng.choice(vocab_ids, size=2, replace=False)
+                negs = rng.choice(
+                    vocab_ids, size=int(rng.integers(0, 4)), replace=False
+                )
+                rows.append((int(t), int(c), [int(x) for x in negs]))
+            df = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["input_h3", "context_h3", "neg_h3s"])
+            ).repartition(3)
+            vocab, w, l_d = skipgram_fit(
+                df, dim=5, n_iter=3, lr=1.5, seed=seed, init="hash"
+            )
+            wdf, l_s = skipgram_fit_sharded(df, dim=5, n_iter=3, lr=1.5, seed=seed)
+            np.testing.assert_allclose(l_s, l_d, rtol=1e-8)
+            got = {
+                r["h3"]: np.asarray(r["embedding"])
+                for r in sharded_embeddings(wdf).collect()
+            }
+            for i, h in enumerate(vocab):
+                np.testing.assert_allclose(
+                    got[int(h)], w[i], rtol=1e-8, atol=1e-12
+                )
