@@ -188,6 +188,36 @@ class TestDynamicPartitionPruning:
         assert "dynamicpruning" in plan.lower(), plan
 
 
+class TestRuntimeBloomFilter:
+    def test_bloom_filter_prunes_shuffle_join_fact_side(self, spark, tmp_path):
+        # §4 runtime-filter story (round 4): for a shuffle join whose
+        # dim side carries a selective predicate, Spark injects a bloom
+        # `might_contain` filter onto the FACT scan — shuffle-side
+        # pruning on a non-partition column, the 100 TB complement to
+        # DPP. The engine's session keeps the feature at its default
+        # (enabled); only the 10GB application-side size gate is
+        # lowered here so a test-sized fact qualifies.
+        s2 = spark.newSession()
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0",
+        )
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        d = str(tmp_path)
+        s2.range(100_000).selectExpr(
+            "id", "id % 1000 AS fk", "id * 2 AS payload"
+        ).write.parquet(d + "/fact")
+        s2.range(1000).selectExpr(
+            "id AS fk", "id % 7 AS attr"
+        ).write.parquet(d + "/dim")
+        fact = s2.read.parquet(d + "/fact")
+        dim = s2.read.parquet(d + "/dim").where(F.col("attr") == 3)
+        q = fact.join(dim, "fk").groupBy("attr").count()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+
+
 class TestWriteTableFooterCounts:
     def test_counts_from_footers_no_rescan(self, spark, tmp_path, monkeypatch):
         # round-4 verdict fix: write_table used to re-read the
