@@ -201,11 +201,15 @@ def main() -> int:
 
     def _spread(key: str) -> tuple[float, float, float]:
         vals = sorted(t[key] for t in trials)
-        return vals[0], vals[len(vals) // 2], vals[-1]
+        # lower-middle for even n: an element must be picked, and the
+        # conservative half keeps the committed "median" from quoting
+        # the better of two middle trials (len//2 would be upper-middle)
+        return vals[0], vals[(len(vals) - 1) // 2], vals[-1]
 
     # headline tables quote the MEDIAN trial (by normalized 8->32
-    # efficiency) so every number in them comes from one coherent run
-    mid = sorted(trials, key=lambda t: t["eff_8_32_norm"])[len(trials) // 2]
+    # efficiency; lower-middle for even n — see _spread) so every
+    # number in them comes from one coherent, conservatively-picked run
+    mid = sorted(trials, key=lambda t: t["eff_8_32_norm"])[(len(trials) - 1) // 2]
     t2, t8, t32 = mid["t2"], mid["t8"], mid["t32"]
     tb8, tb32 = mid["tb8"], mid["tb32"]
     p_2_8, p_8_32 = mid["p_2_8"], mid["p_8_32"]

@@ -265,13 +265,23 @@ def choropleth_svg(
     numeric = pd.api.types.is_numeric_dtype(vals)
     if numeric:
         v = vals.to_numpy(dtype=np.float64)
+        if np.all(np.isnan(v)):
+            raise ValueError(f"choropleth_svg: {value_col!r} is all-NaN")
         lo, hi = float(np.nanmin(v)), float(np.nanmax(v))
         span = (hi - lo) or 1.0
-        fills = [_viridis_hex((x - lo) / span) for x in v]
+        # NaN cells (NULL aggregates) render neutral gray, like
+        # GeoPandas' missing_kwds — they must not crash the figure
+        fills = [
+            "#cccccc" if np.isnan(x) else _viridis_hex((x - lo) / span)
+            for x in v
+        ]
     else:
         cats = sorted(map(str, vals.dropna().unique()))
         cmap = {c: _QUAL10[i % len(_QUAL10)] for i, c in enumerate(cats)}
-        fills = [cmap.get(str(x), "#cccccc") for x in vals]
+        fills = [
+            "#cccccc" if pd.isna(x) else cmap.get(str(x), "#cccccc")
+            for x in vals
+        ]
 
     # fit: mercator bbox -> viewport (SVG y grows downward -> flip)
     x0, x1 = float(mx.min()), float(mx.max())
@@ -306,10 +316,14 @@ def choropleth_svg(
             f'<text x="230" y="{height + 38}" font-size="12" font-family="sans-serif" text-anchor="end">{hi:g}</text>',
         ]
     elif legend:
+        from xml.sax.saxutils import escape
+
         for i, c in enumerate(cats[:10]):
+            # category labels are arbitrary strings — escape them or a
+            # '&'/'<' in a label yields malformed SVG
             leg.append(
                 f'<rect x="{10 + i * 78}" y="{height + 10}" width="12" height="12" fill="{cmap[c]}"/>'
-                f'<text x="{26 + i * 78}" y="{height + 21}" font-size="12" font-family="sans-serif">{c[:8]}</text>'
+                f'<text x="{26 + i * 78}" y="{height + 21}" font-size="12" font-family="sans-serif">{escape(c[:8])}</text>'
             )
 
     return (

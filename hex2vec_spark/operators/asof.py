@@ -122,12 +122,17 @@ def asof_join(
     if direction == "nearest":
         # both carries over ONE hash partitioning (Spark reuses the
         # Exchange across the two window sorts), then a per-row pick:
-        # closest absolute distance, exact tie -> backward (pandas)
+        # closest absolute distance, exact tie -> backward (pandas).
+        # Distances are computed in the column's NATIVE arithmetic type
+        # (timestamps/dates -> exact int64 microseconds, integers stay
+        # integers): a cast to double would round long-epoch values
+        # above 2^53 before subtracting and could pick the wrong side
+        # on close calls, and DATE isn't castable to double at all.
         def _tnum(c):
             t = u.schema["_asof_t"].dataType.simpleString()
-            if "timestamp" in t:
-                return F.unix_micros(c.cast("timestamp")).cast("double")
-            return c.cast("double")
+            if "timestamp" in t or t == "date":
+                return F.unix_micros(c.cast("timestamp"))
+            return c
 
         carried = (
             u.withColumn("_hb", F.last("_asof_pay", ignorenulls=True).over(w_back))

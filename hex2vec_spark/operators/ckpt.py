@@ -49,16 +49,28 @@ class Checkpointer:
     ) -> None:
         if every < 1:
             raise ValueError(f"checkpoint every must be >= 1, got {every}")
+        self.spark = spark
         self.dir = checkpoint_dir
         self.every = every
         self.calls = 0
-        if checkpoint_dir is not None:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _reliable_ckpt(self, df: DataFrame, eager: bool) -> DataFrame:
+        # sc.setCheckpointDir is CONTEXT-GLOBAL, so re-assert this
+        # operator's dir immediately before every reliable checkpoint —
+        # otherwise two interleaved operators with different dirs would
+        # write into whichever dir was set last (the checkpoint path is
+        # resolved when df.checkpoint() runs, not when this object was
+        # built). Truly concurrent checkpoint() calls from separate
+        # threads still race on the global — Spark offers no per-job
+        # checkpoint dir; give concurrent jobs separate sessions'
+        # contexts or the same dir.
+        self.spark.sparkContext.setCheckpointDir(self.dir)
+        return df.checkpoint(eager=eager)
 
     def __call__(self, df: DataFrame, eager: bool = True) -> DataFrame:
         self.calls += 1
         if self.dir is not None and self.calls % self.every == 0:
-            return df.checkpoint(eager=eager)
+            return self._reliable_ckpt(df, eager)
         return df.localCheckpoint(eager=eager)
 
     def reliable(self, df: DataFrame, eager: bool = True) -> DataFrame:
@@ -67,5 +79,5 @@ class Checkpointer:
         (trainer pair tables), where executor loss would otherwise
         stall all subsequent iterations."""
         if self.dir is not None:
-            return df.checkpoint(eager=eager)
+            return self._reliable_ckpt(df, eager)
         return df.localCheckpoint(eager=eager)

@@ -192,7 +192,7 @@ def minhash_lsh_pairs(
     if materialize:
         from .ckpt import Checkpointer
 
-        stacked = Checkpointer(df.sparkSession, checkpoint_dir, every=1)(
+        stacked = Checkpointer(df.sparkSession, checkpoint_dir).reliable(
             stacked, eager=False
         )
     left = stacked.alias("l")
@@ -270,7 +270,7 @@ def ngram_jaccard_pairs(
     if materialize:
         from .ckpt import Checkpointer
 
-        grams = Checkpointer(df.sparkSession, checkpoint_dir, every=1)(
+        grams = Checkpointer(df.sparkSession, checkpoint_dir).reliable(
             grams, eager=False
         )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -385,7 +385,7 @@ def embedding_near_dup(
     # when a checkpoint_dir is given (operators/ckpt)
     from .ckpt import Checkpointer
 
-    sig = Checkpointer(emb.sparkSession, checkpoint_dir, every=1)(sig, eager=False)
+    sig = Checkpointer(emb.sparkSession, checkpoint_dir).reliable(sig, eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

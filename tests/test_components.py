@@ -109,3 +109,23 @@ class TestConnectedComponents:
         # reliable checkpoints materialized on the (shared) filesystem
         found = [f for _, _, fs in os.walk(ckdir) for f in fs]
         assert found, "no reliable checkpoint files written"
+
+
+class TestCheckpointerDirs:
+    def test_interleaved_checkpointers_use_own_dirs(self, spark, tmp_path):
+        # review fix: sc.setCheckpointDir is context-global; the dir is
+        # re-asserted immediately before every reliable checkpoint so
+        # interleaved operators with different dirs each write into
+        # their own directory.
+        import os
+
+        from hex2vec_spark.operators.ckpt import Checkpointer
+
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        ca = Checkpointer(spark, da, every=1)
+        cb = Checkpointer(spark, db, every=1)  # global dir now points at b
+        ca(spark.range(10), eager=True)        # must still land in a
+        cb(spark.range(10), eager=True)
+        files_a = [f for _, _, fs in os.walk(da) for f in fs]
+        files_b = [f for _, _, fs in os.walk(db) for f in fs]
+        assert files_a and files_b

@@ -884,6 +884,28 @@ class TestAsofJoin:
         assert sorted(out["n_events"]) == [1, 2]
 
 
+    def test_nearest_exact_at_large_int64_timestamps(self, spark):
+        # review fix: distances are computed in the NATIVE column type —
+        # a double cast rounds epoch-scale int64 (~4e18, representable
+        # gap 512) before subtracting and can pick the farther side on
+        # close calls. Backward is closer by exactly 1 unit here.
+        from hex2vec_spark.operators.asof import asof_join
+
+        base = 4_000_000_000_000_000_000
+        left = spark.createDataFrame(
+            [(1, "u", base)], "id long, k string, ts long"
+        )
+        right = spark.createDataFrame(
+            [("u", base - 1000, 1.0), ("u", base + 1001, 2.0)],
+            "k string, ts long, v double",
+        )
+        row = asof_join(
+            left, right, by="k", right_payload=["v"], direction="nearest"
+        ).collect()[0]
+        assert row["asof_v"] == 1.0 and row["asof_ts"] == base - 1000
+
+
+
 class TestWindowedStreaming:
     def test_windowed_counts_matches_batch(self, spark, tmp_path):
         import shutil

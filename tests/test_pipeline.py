@@ -419,6 +419,16 @@ class TestViz:
         assert len(cfills) == 2  # one color per category
         assert len(rootc.findall(f"{ns}rect")) == 2  # two swatches
 
+        # review fixes: NaN values render neutral gray instead of
+        # crashing; category labels with XML metacharacters escape
+        nan_pdf = pdf.copy()
+        nan_pdf.loc[nan_pdf.index[1], "count"] = np.nan
+        nan_pdf["label"] = ["r&d" if i % 2 else "a<b" for i in range(len(nan_pdf))]
+        svg_nan = choropleth_svg(nan_pdf, value_col="count")
+        root_nan = ET.fromstring(svg_nan)  # still well-formed
+        assert root_nan.findall(f"{ns}polygon")[1].get("fill") == "#cccccc"
+        ET.fromstring(choropleth_svg(nan_pdf, value_col="label"))  # escaped
+
         with pytest.raises(ValueError):
             choropleth_svg(pdf.iloc[:0], value_col="count")
 
