@@ -1249,10 +1249,49 @@ def _q_resize_images(spark, sf_dir):
 
 
 def _q_frame_sample(spark, sf_dir):
-    # multimodal: video frame sampling (stubbed decode, real plumbing)
-    from hex2vec_spark.functions.multimodal import sample_frames
+    # multimodal: REAL video path (round 4) — pure-NumPy Y4M decode over
+    # deterministic synthesized clips; only the sampled frames are read
+    # (frame offsets computed from the header), pHash = the image DCT hash
+    import pandas as pd
 
-    return sample_frames(_images(spark, 300), n_frames=3)
+    from hex2vec_spark.functions.multimodal import sample_frames
+    from hex2vec_spark.hexlib.video import synth_y4m_bytes
+
+    vids = spark.createDataFrame(
+        pd.DataFrame({
+            "image_id": [f"v{i:03d}" for i in range(150)],
+            "bytes": [synth_y4m_bytes(i, n_frames=8, w=32, h=24) for i in range(150)],
+        })
+    )
+    return sample_frames(vids, n_frames=3)
+
+
+def _q_video_frame_stats(spark, sf_dir):
+    # multimodal: the video->image bridge — extract_frames re-encodes
+    # sampled Y4M frames as PNG rows, which the unchanged image operators
+    # (image_stats here) consume directly
+    import pandas as pd
+
+    from hex2vec_spark.functions.image_fns import image_stats
+    from hex2vec_spark.functions.multimodal import extract_frames
+    from hex2vec_spark.hexlib.video import synth_y4m_bytes
+
+    vids = spark.createDataFrame(
+        pd.DataFrame({
+            "image_id": [f"v{i:03d}" for i in range(100)],
+            "bytes": [synth_y4m_bytes(i, n_frames=6, w=32, h=24) for i in range(100)],
+        })
+    )
+    frames = extract_frames(vids, n_frames=2)
+    return frames.select(
+        "image_id", "frame_idx", "t_ms",
+        image_stats(F.col("bytes"), F.col("fmt")).alias("s"),
+    ).select(
+        "image_id", "frame_idx", "t_ms",
+        F.round("s.mean_r", 4).alias("mean_r"),
+        F.round("s.mean_g", 4).alias("mean_g"),
+        F.round("s.mean_b", 4).alias("mean_b"),
+    )
 
 
 def _q_audio_features(spark, sf_dir):
@@ -1756,6 +1795,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strict_pip": _q_strict_pip,
         "resize_images": _q_resize_images,
         "frame_sample": _q_frame_sample,
+        "video_frame_stats": _q_video_frame_stats,
         "audio_features": _q_audio_features,
         "skipgram_embed": _q_skipgram_embed,
         "skipgram_embed_sharded": _q_skipgram_embed_sharded,

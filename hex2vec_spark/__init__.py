@@ -42,6 +42,13 @@ def __getattr__(name):
         "keep_canonical": "operators.components",
         "Checkpointer": "operators.ckpt",
         "sessionize": "operators.sessions",
+        "sample_frames": "functions.multimodal",
+        "extract_frames": "functions.multimodal",
+        "resize_images": "functions.multimodal",
+        "y4m_encode": "hexlib.video",
+        "y4m_decode": "hexlib.video",
+        "y4m_probe": "hexlib.video",
+        "synth_y4m_bytes": "hexlib.video",
         "cells_to_geojson": "functions.viz",
         "choropleth_svg": "functions.viz",
         "kepler_bundle": "functions.viz",

@@ -3,14 +3,15 @@ metadata, processed by Arrow-batched UDFs (`mapInPandas` / `pandas_udf`).
 
 Design (per the training-data-pipeline brief): image/audio/video travel
 as `binary` columns with typed metadata columns; pixels/samples/frames
-exist only transiently inside UDF batches. The image path is REAL
-(hexlib PNG/PPM codecs + NumPy area resize). Audio and video *decode*
-is STUBBED — this container ships no av/audio libs — behind
-``fake=True`` deterministic feature synthesis; ``fake=False`` raises
-``NotImplementedError``. The Spark-side plumbing (schema, UDF
-signature, batch shape, partition behavior) is real and tested either
-way, so swapping in a real decoder on a cluster is a one-function
-change.
+exist only transiently inside UDF batches. All three modalities decode
+for REAL without external libraries: images via the hexlib PNG/PPM
+codecs + NumPy area resize, audio via stdlib ``wave`` PCM + NumPy MFCC
+(round 2), video via the pure-NumPy Y4M/YUV4MPEG2 codec in
+``hexlib.video`` (round 4) — uncompressed formats only; compressed
+codecs (jpeg/mp3/mp4) would need av libraries this container doesn't
+ship and raise a documented error. ``fake=True`` keeps the round-1
+deterministic pseudo-feature stubs for opaque payloads (plumbing tests
+over arbitrary bytes).
 """
 
 from __future__ import annotations
@@ -98,21 +99,50 @@ FRAME_SCHEMA = ArrayType(StructType([
 ]))
 
 
-def frame_sample_udf(n_frames: int = 4, fps: float = 25.0, fake: bool = True):
+def _sample_indices(n_avail: int, n_want: int) -> np.ndarray:
+    """n_want uniformly-spaced frame indices over [0, n_avail) —
+    distinct whenever n_want <= n_avail (stride >= 1)."""
+    k = min(n_want, n_avail)
+    return (np.arange(k, dtype=np.int64) * n_avail) // max(k, 1)
+
+
+def frame_sample_udf(n_frames: int = 4, fps: float = 25.0, fake: bool = False):
     """Video frame sampling: binary payload -> n uniformly-spaced frames
-    -> per-frame pHash. STUB decode: no video codec ships in this
-    container. ``fake=True`` synthesizes per-frame phashes as a pure
-    function of (payload bytes, frame index) so the downstream plumbing
-    (explode, dedup on frame_phash, hex binning) is fully exercised;
-    ``fake=False`` raises NotImplementedError where a real demuxer
-    (e.g. PyAV) would slot in."""
+    -> per-frame pHash.
+
+    ``fake=False`` (default since round 4) is the REAL path for Y4M
+    (YUV4MPEG2) payloads: ``hexlib.video.y4m_probe`` indexes every frame
+    from the header alone (fixed raw frame size), so only the *sampled*
+    frames are read and YUV->RGB converted — decode cost scales with
+    frames kept, not frames stored. Timestamps come from the stream's
+    own F<num>:<den> rate; pHashes are the same DCT ``phash64`` the
+    image path uses, so frame-level dedup composes with image dedup.
+    Compressed containers raise ``ValueError`` (documented; no av libs).
+    ``fake=True`` keeps the round-1 deterministic pseudo-phash stub for
+    opaque payloads (plumbing tests over image bytes); ``fps`` is only
+    used by that path (the real path reads the rate from the header)."""
 
     @F.pandas_udf(FRAME_SCHEMA)
     def _udf(data: pd.Series) -> pd.Series:
         if not fake:
-            raise NotImplementedError(
-                "real video decode needs an av library not present in this container"
-            )
+            from ..hexlib import video as vid
+
+            out = []
+            for b in data.to_numpy():
+                b = bytes(b)
+                info = vid.y4m_probe(b)
+                idx = _sample_indices(info["n_frames"], n_frames)
+                frames = vid.y4m_decode(b, indices=idx)
+                ms = 1000.0 * info["fps_den"] / info["fps_num"]
+                out.append([
+                    {
+                        "frame_idx": int(i),
+                        "t_ms": int(round(i * ms)),
+                        "frame_phash": int(im.phash64(frames[j])),
+                    }
+                    for j, i in enumerate(idx)
+                ])
+            return pd.Series(out)
         seeds = _bytes_seed(data)
         out = []
         for s in seeds:
@@ -127,16 +157,74 @@ def frame_sample_udf(n_frames: int = 4, fps: float = 25.0, fake: bool = True):
     return _udf
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, payload_col: str = "bytes") -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "bytes",
+    fake: bool = False,
+) -> DataFrame:
     """Explode sampled frames to one row per (video, frame) — the narrow
     form every downstream operator (dedup, binning) consumes."""
-    frames = frame_sample_udf(n_frames)(F.col(payload_col)).alias("frames")
+    frames = frame_sample_udf(n_frames, fake=fake)(F.col(payload_col)).alias("frames")
     return df.select("image_id", F.explode(frames).alias("fr")).select(
         "image_id",
         F.col("fr.frame_idx").alias("frame_idx"),
         F.col("fr.t_ms").alias("t_ms"),
         F.col("fr.frame_phash").alias("frame_phash"),
     )
+
+
+def extract_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """REAL video -> image bridge: uniformly sample ``n_frames`` from
+    each Y4M payload and emit one row per frame with the frame
+    re-encoded as PNG — the exact (bytes, w, h, fmt) shape the whole
+    image pipeline (resize, pHash, stats, tile-hex binning) consumes,
+    so every image operator composes onto video for free.
+
+    ``mapInPandas`` (not a scalar UDF): output cardinality differs from
+    input (1 video -> k frames), and one input batch can legally emit
+    multiple output chunks, keeping peak memory at batch x frame size."""
+    from pyspark.sql.types import StringType, StructType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", IntegerType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ])
+
+    def gen(batches):
+        from ..hexlib import video as vid
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for vid_id, b in zip(pdf[id_col].to_numpy(), pdf[payload_col].to_numpy()):
+                b = bytes(b)
+                info = vid.y4m_probe(b)
+                idx = _sample_indices(info["n_frames"], n_frames)
+                frames = vid.y4m_decode(b, indices=idx)
+                ms = 1000.0 * info["fps_den"] / info["fps_num"]
+                for j, i in enumerate(idx):
+                    rows.append({
+                        id_col: vid_id,
+                        "frame_idx": int(i),
+                        "t_ms": int(round(i * ms)),
+                        "bytes": im.png_encode(frames[j], level=1),
+                        "w": int(info["w"]),
+                        "h": int(info["h"]),
+                        "fmt": "png",
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 
 # ------------------------------------------------------------------ audio

@@ -234,3 +234,75 @@ class TestCosetChain:
         a0, b0, digs = hm.chain_up_digits_axial(a.copy(), b.copy(), 9)
         ra, rb = hm.chain_down_axial(a0.copy(), b0.copy(), digs, 9)
         assert np.array_equal(ra, a) and np.array_equal(rb, b)
+
+
+class TestY4MCodec:
+    def _smooth(self, n=5, h=24, w=32):
+        ys, xs = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [np.stack([(xs * 3 + f * 11) % 256, (ys * 5 + f * 7) % 256,
+                       (xs + ys + f) % 256], -1) for f in range(n)]
+        ).astype(np.uint8)
+
+    def test_roundtrip_psnr_all_colorspaces(self):
+        # north-rule bar: decoded pixels PSNR >= 40 dB for lossy paths.
+        # C444's only loss is BT.601 uint8 quantization; subsampled
+        # spaces are measured on smooth (realistic) content, where the
+        # 2x2 chroma box-mean is representative — random noise would
+        # punish any 4:2:0 codec identically.
+        from hex2vec_spark.hexlib.image import psnr
+        from hex2vec_spark.hexlib.video import y4m_decode, y4m_encode
+
+        frames = self._smooth()
+        for cs, floor in [("C444", 49.0), ("C422", 45.0), ("C420jpeg", 40.0)]:
+            dec = y4m_decode(y4m_encode(frames, colorspace=cs))
+            assert min(psnr(frames[i], dec[i]) for i in range(len(frames))) >= floor, cs
+        # C444 also holds >= 40 dB on worst-case random noise
+        noise = np.random.default_rng(0).integers(0, 256, (3, 24, 32, 3), dtype=np.uint8)
+        dec = y4m_decode(y4m_encode(noise, colorspace="C444"))
+        assert min(psnr(noise[i], dec[i]) for i in range(3)) >= 40.0
+
+    def test_probe_indexes_without_decoding(self):
+        from hex2vec_spark.hexlib.video import y4m_encode, y4m_probe
+
+        b = y4m_encode(self._smooth(7), fps=(30001, 1000), colorspace="C420")
+        info = y4m_probe(b)
+        assert info["n_frames"] == 7
+        assert (info["w"], info["h"]) == (32, 24)
+        assert (info["fps_num"], info["fps_den"]) == (30001, 1000)
+        # fixed raw frame size: offsets stride by 6 + w*h*3/2
+        offs = info["frame_offsets"]
+        assert {offs[i + 1] - offs[i] for i in range(6)} == {6 + 32 * 24 * 3 // 2}
+
+    def test_selective_decode_equals_full_slice(self):
+        from hex2vec_spark.hexlib.video import y4m_decode, y4m_encode
+
+        b = y4m_encode(self._smooth(9), colorspace="C444")
+        assert np.array_equal(y4m_decode(b, indices=[1, 4, 8]), y4m_decode(b)[[1, 4, 8]])
+
+    def test_mono_and_errors(self):
+        import pytest
+
+        from hex2vec_spark.hexlib.video import y4m_decode, y4m_encode, y4m_probe
+
+        frames = self._smooth(2)
+        dm = y4m_decode(y4m_encode(frames, colorspace="Cmono"))
+        assert np.array_equal(dm[..., 0], dm[..., 1])  # gray replicated
+        with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            y4m_probe(b"\x89PNG\r\n\x1a\nrest")
+        with pytest.raises(ValueError, match="divisible"):
+            y4m_encode(frames[:, :23], colorspace="C420")
+        with pytest.raises(ValueError, match="truncated"):
+            y4m_probe(y4m_encode(frames)[:-5])
+        with pytest.raises(ValueError, match="colorspace"):
+            y4m_encode(frames, colorspace="C411")
+
+    def test_synth_fixture_deterministic_distinct(self):
+        from hex2vec_spark.hexlib.image import phash64
+        from hex2vec_spark.hexlib.video import synth_y4m_bytes, y4m_decode
+
+        a, b = synth_y4m_bytes(4), synth_y4m_bytes(4)
+        assert a == b  # deterministic
+        frames = y4m_decode(a)
+        assert len({phash64(f) for f in frames}) == len(frames)  # frames distinct
+        assert synth_y4m_bytes(5) != a  # clips distinct

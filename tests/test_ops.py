@@ -592,15 +592,19 @@ class TestMultimodal:
             assert (big.reshape(64, -1).max(axis=1) > 0).all()
 
     def test_frame_sample_deterministic_plumbing(self, spark, images):
+        # fake path: opaque (non-video) payloads still flow through the
+        # same explode plumbing with deterministic pseudo-phashes
         from hex2vec_spark.functions.multimodal import sample_frames
 
-        a = sample_frames(images, n_frames=3).toPandas().sort_values(["image_id", "frame_idx"])
-        b = sample_frames(images, n_frames=3).toPandas().sort_values(["image_id", "frame_idx"])
+        a = sample_frames(images, n_frames=3, fake=True).toPandas().sort_values(["image_id", "frame_idx"])
+        b = sample_frames(images, n_frames=3, fake=True).toPandas().sort_values(["image_id", "frame_idx"])
         assert len(a) == 40 * 3
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
         assert set(a.columns) == {"image_id", "frame_idx", "t_ms", "frame_phash"}
 
-    def test_frame_sample_real_path_raises(self, spark, images):
+    def test_frame_sample_real_path_rejects_non_video(self, spark, images):
+        # real decode (round 4) rejects non-Y4M payloads loudly instead
+        # of faking features for them
         from hex2vec_spark.functions.multimodal import frame_sample_udf
         from py4j.protocol import Py4JJavaError
         from pyspark.errors import PythonException
@@ -608,6 +612,82 @@ class TestMultimodal:
         df = images.select(frame_sample_udf(n_frames=2, fake=False)(F.col("bytes")))
         with pytest.raises((Py4JJavaError, PythonException)):
             df.collect()
+
+    @pytest.fixture(scope="class")
+    def videos(self, spark):
+        import pandas as pd
+
+        from hex2vec_spark.hexlib.video import synth_y4m_bytes
+
+        return spark.createDataFrame(
+            pd.DataFrame({
+                "image_id": [f"v{i:03d}" for i in range(12)],
+                "bytes": [
+                    synth_y4m_bytes(i, n_frames=10, w=32, h=24, fps=(30, 1))
+                    for i in range(12)
+                ],
+            })
+        ).cache()
+
+    def test_frame_sample_real_y4m_matches_local_decode(self, spark, videos):
+        # round 4: REAL video decode — the Spark-side per-frame pHashes
+        # and timestamps must equal a driver-local y4m_decode + phash64
+        # over the same uniformly-sampled indices
+        import numpy as np
+
+        from hex2vec_spark.functions.multimodal import sample_frames
+        from hex2vec_spark.hexlib.image import phash64
+        from hex2vec_spark.hexlib.video import synth_y4m_bytes, y4m_decode
+
+        out = sample_frames(videos, n_frames=4).toPandas()
+        assert len(out) == 12 * 4
+        for vid in (0, 5, 11):
+            b = synth_y4m_bytes(vid, n_frames=10, w=32, h=24, fps=(30, 1))
+            idx = (np.arange(4) * 10) // 4  # [0, 2, 5, 7]
+            frames = y4m_decode(b, indices=idx)
+            got = out[out.image_id == f"v{vid:03d}"].sort_values("frame_idx")
+            assert list(got.frame_idx) == list(idx)
+            # t_ms from the stream's own 30fps rate, not a default
+            assert list(got.t_ms) == [int(round(i * 1000.0 / 30.0)) for i in idx]
+            assert list(got.frame_phash) == [phash64(frames[j]) for j in range(4)]
+
+    def test_frame_sample_clamps_to_available_frames(self, spark):
+        import pandas as pd
+
+        from hex2vec_spark.functions.multimodal import sample_frames
+        from hex2vec_spark.hexlib.video import synth_y4m_bytes
+
+        short = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["s"],
+                          "bytes": [synth_y4m_bytes(1, n_frames=2)]})
+        )
+        got = sample_frames(short, n_frames=8).toPandas()
+        assert sorted(got.frame_idx) == [0, 1]  # no fabricated frames
+
+    def test_extract_frames_feeds_image_pipeline(self, spark, videos):
+        # the video->image bridge: sampled frames re-encoded as PNG are
+        # pixel-exact vs local decode and compose with image operators
+        from hex2vec_spark.functions.image_fns import image_stats
+        from hex2vec_spark.functions.multimodal import extract_frames
+        from hex2vec_spark.hexlib.image import png_decode
+        from hex2vec_spark.hexlib.video import synth_y4m_bytes, y4m_decode
+        import numpy as np
+
+        frames = extract_frames(videos, n_frames=3).cache()
+        pdf = frames.toPandas()
+        assert len(pdf) == 12 * 3
+        assert set(pdf.fmt) == {"png"} and set(pdf.w) == {32} and set(pdf.h) == {24}
+        row = pdf[(pdf.image_id == "v003") & (pdf.frame_idx == 3)].iloc[0]
+        ref = y4m_decode(
+            synth_y4m_bytes(3, n_frames=10, w=32, h=24, fps=(30, 1)), indices=[3]
+        )[0]
+        assert np.array_equal(png_decode(bytes(row["bytes"])), ref)  # lossless PNG
+        # image operators accept the bridge output as-is
+        stats = frames.select(
+            "image_id", "frame_idx",
+            image_stats(F.col("bytes"), F.col("fmt")).alias("s"),
+        ).collect()
+        assert len(stats) == 36 and all(0 <= r["s"]["mean_r"] <= 255 for r in stats)
 
     def test_audio_features_shape(self, spark, images):
         # the fake path (opaque non-WAV payloads): plumbing over image bytes
