@@ -608,6 +608,34 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_interval_join(spark, sf_dir):
+    # big x big range join via bucketized equi-join (operators/joins.py
+    # interval_join): order totals probed against supplier-derived value
+    # intervals. Unlike range_join (broadcast dim), NEITHER side need fit
+    # in memory — intervals explode one row per covered bucket and the
+    # range predicate rides as a residual on the bucket equi-join.
+    # DECIMAL sums so both engines accumulate exactly.
+    from hex2vec_spark.operators.joins import interval_join
+
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    iv = (
+        _load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey"),
+            (F.col("s_acctbal") * 40.0).alias("lo"),
+            (F.col("s_acctbal") * 40.0 + (F.col("s_suppkey") % 7 + 1) * 8000.0).alias("hi"),
+        )
+    )
+    return (
+        interval_join(o, iv, "o_totalprice", "lo", "hi", bucket_width=8000.0)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
 def _q_tpch_q5(spark, sf_dir):
     # TPC-H Q5 shape: local-supplier revenue — 5-way join where customer
     # and supplier must share the nation, dims broadcast
@@ -1739,6 +1767,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": _q_conditional_agg,
         "scalar_subquery": _q_scalar_subquery,
         "range_join": _q_range_join,
+        "interval_join_agg": _q_interval_join,
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
@@ -2337,6 +2366,18 @@ def oracle_sql() -> dict[str, str]:
                  AS b(lo, hi, bucket)
               ON s_acctbal >= lo AND s_acctbal < hi
             GROUP BY bucket
+        """,
+        "interval_join_agg": """
+            SELECT s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            JOIN (SELECT s_suppkey, s_acctbal * 40.0 AS lo,
+                         s_acctbal * 40.0 + (s_suppkey % 7 + 1) * 8000.0 AS hi
+                  FROM supplier) iv
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY s_suppkey
         """,
         "salted_join": """
             SELECT o_orderpriority, COUNT(*) AS n,

@@ -1023,3 +1023,88 @@ class TestWindowedStreaming:
             got.sort_values(key).reset_index(drop=True),
             batch.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestIntervalJoin:
+    @staticmethod
+    def _tables(spark):
+        import pandas as pd
+
+        rng = __import__("numpy").random.default_rng(11)
+        pts = spark.createDataFrame(pd.DataFrame({
+            "pid": range(4000),
+            "val": rng.integers(-500, 3500, 4000).astype(float),
+        }))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "iid": range(300),
+            "lo": rng.integers(-600, 3000, 300).astype(float),
+        }))
+        iv = iv.withColumn("hi", F.col("lo") + (F.col("iid") % 7 + 1) * 50.0)
+        return pts, iv
+
+    def test_inner_equals_plain_nonequi(self, spark):
+        from hex2vec_spark.operators.joins import interval_join
+
+        pts, iv = self._tables(spark)
+        got = interval_join(pts, iv, "val", "lo", "hi", bucket_width=100.0)
+        plain = pts.join(iv, (pts.val >= iv.lo) & (pts.val < iv.hi))
+        key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+        assert key(got) == key(plain) and got.count() > 1000
+
+    def test_closed_variants(self, spark):
+        from hex2vec_spark.operators.joins import interval_join
+
+        pts = spark.createDataFrame([(1, 100.0)], "pid int, val double")
+        iv_edge = spark.createDataFrame(
+            [(1, 100.0, 200.0), (2, 0.0, 100.0), (3, 100.0, 100.0)],
+            "iid int, lo double, hi double",
+        )
+        hits = lambda c: sorted(
+            r["iid"] for r in interval_join(
+                pts, iv_edge, "val", "lo", "hi", 50.0, closed=c
+            ).collect()
+        )
+        assert hits("left") == [1]
+        assert hits("both") == [1, 2, 3]
+        # iid 3 is degenerate (lo = hi = 100): p > lo fails, so "right"
+        # matches only iid 2 — while "both" includes the single-point
+        # interval
+        assert hits("right") == [2]
+        assert hits("neither") == []
+
+    def test_left_join_keeps_unmatched_points(self, spark):
+        from hex2vec_spark.operators.joins import interval_join
+
+        pts, iv = self._tables(spark)
+        out = interval_join(pts, iv, "val", "lo", "hi", 100.0, how="left")
+        matched = interval_join(pts, iv, "val", "lo", "hi", 100.0)
+        n_matched_pts = matched.select("pid").distinct().count()
+        assert out.where(F.col("iid").isNull()).count() == 4000 - n_matched_pts
+        # every point appears (matched rows + one null row per unmatched)
+        assert out.select("pid").distinct().count() == 4000
+
+    def test_plan_is_equi_shuffle_join_not_nested_loop(self, spark):
+        # the whole point at 100 TB: the executed plan must contain NO
+        # BroadcastNestedLoopJoin / CartesianProduct — the range
+        # predicate rides as a residual on a bucket equi-join
+        from hex2vec_spark.operators.joins import interval_join
+
+        pts, iv = self._tables(spark)
+        # defeat the tiny-side auto-broadcast so the test sees the
+        # genuine big-x-big shape
+        plan = (
+            interval_join(pts.hint("merge"), iv, "val", "lo", "hi", 100.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_negative_and_boundary_buckets(self, spark):
+        # negative values: floor(-1/100) = -1 (not trunc toward 0) --
+        # a point just below zero must land in the interval crossing 0
+        from hex2vec_spark.operators.joins import interval_join
+
+        pts = spark.createDataFrame([(1, -0.5), (2, -250.0)], "pid int, val double")
+        iv = spark.createDataFrame([(7, -100.0, 100.0)], "iid int, lo double, hi double")
+        got = sorted(r["pid"] for r in interval_join(pts, iv, "val", "lo", "hi", 100.0).collect())
+        assert got == [1]
