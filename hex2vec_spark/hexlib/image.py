@@ -210,3 +210,67 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def _win_means(x: np.ndarray, win: int) -> np.ndarray:
+    """Mean over every non-overlapping win x win block (trailing partial
+    rows/cols dropped) via one reshape — O(n), no Python loops."""
+    h, w = x.shape
+    bh, bw = h // win, w // win
+    if bh == 0 or bw == 0:  # tiny image: single global window
+        return np.array([[x.mean()]])
+    return x[: bh * win, : bw * win].reshape(bh, win, bw, win).mean(axis=(1, 3))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Structural similarity index (Wang et al. 2004) on the luma plane.
+
+    Block implementation: statistics over non-overlapping ``win``-sized
+    windows (the fast tile variant of the original sliding window —
+    deterministic, vectorized, dependency-free), averaged over tiles.
+    1.0 iff identical; monotonically degrades with noise/blur.
+    """
+    if a.shape != b.shape:
+        raise ValueError(f"ssim shape mismatch: {a.shape} vs {b.shape}")
+    lw = np.array([0.299, 0.587, 0.114])
+    ga = (a.astype(np.float64) @ lw) if a.ndim == 3 else a.astype(np.float64)
+    gb = (b.astype(np.float64) @ lw) if b.ndim == 3 else b.astype(np.float64)
+    c1, c2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+    mu_a, mu_b = _win_means(ga, win), _win_means(gb, win)
+    mu_aa, mu_bb = _win_means(ga * ga, win), _win_means(gb * gb, win)
+    mu_ab = _win_means(ga * gb, win)
+    va = mu_aa - mu_a * mu_a
+    vb = mu_bb - mu_b * mu_b
+    cov = mu_ab - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (va + vb + c2)
+    )
+    return float(s.mean())
+
+
+# ---------------------------------------------------- deterministic augments
+
+def hflip(rgb: np.ndarray) -> np.ndarray:
+    return rgb[:, ::-1]
+
+
+def vflip(rgb: np.ndarray) -> np.ndarray:
+    return rgb[::-1, :]
+
+
+def rot90(rgb: np.ndarray, k: int = 1) -> np.ndarray:
+    return np.rot90(rgb, k=k, axes=(0, 1))
+
+
+def center_crop(rgb: np.ndarray, frac: float = 0.75) -> np.ndarray:
+    """Central ``frac`` of each side (at least 1 px)."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"crop frac must be in (0, 1], got {frac}")
+    h, w = rgb.shape[:2]
+    ch, cw = max(1, int(round(h * frac))), max(1, int(round(w * frac)))
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    return rgb[y0 : y0 + ch, x0 : x0 + cw]
+
+
+def adjust_brightness(rgb: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(rgb.astype(np.float64) * factor, 0, 255).astype(np.uint8)

@@ -111,3 +111,105 @@ class TestPhash:
         px = _pattern(6, 64, 64)
         noisy = np.clip(px.astype(np.int32) + np.random.default_rng(0).integers(-2, 3, px.shape), 0, 255).astype(np.uint8)
         assert im.psnr(px, noisy) >= 40.0
+
+
+class TestSsim:
+    def test_identical_is_one(self):
+        x = _pattern(3, 40, 32)
+        assert im.ssim(x, x) == 1.0
+
+    def test_monotone_with_noise(self):
+        rng = np.random.default_rng(5)
+        x = _pattern(7, 48, 48)
+        low = np.clip(x.astype(int) + rng.normal(0, 5, x.shape), 0, 255).astype(np.uint8)
+        high = np.clip(x.astype(int) + rng.normal(0, 40, x.shape), 0, 255).astype(np.uint8)
+        s_low, s_high = im.ssim(x, low), im.ssim(x, high)
+        assert 1.0 > s_low > s_high
+
+    def test_unrelated_images_near_zero(self):
+        rng = np.random.default_rng(6)
+        a = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        b = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        assert im.ssim(a, b) < 0.2
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError, match="shape"):
+            im.ssim(np.zeros((8, 8, 3), np.uint8), np.zeros((8, 9, 3), np.uint8))
+
+    def test_tiny_image_single_window(self):
+        x = _pattern(1, 5, 5)
+        assert im.ssim(x, x) == 1.0
+
+
+class TestAugments:
+    def test_involutions_and_rotations(self):
+        x = _pattern(2, 33, 21)
+        assert np.array_equal(im.hflip(im.hflip(x)), x)
+        assert np.array_equal(im.vflip(im.vflip(x)), x)
+        assert np.array_equal(im.rot90(im.rot90(x, 2), 2), x)
+        assert im.rot90(x, 1).shape == (33, 21, 3)
+
+    def test_center_crop_dims_and_content(self):
+        x = _pattern(4, 40, 20)
+        c = im.center_crop(x, 0.5)
+        assert c.shape == (10, 20, 3)
+        assert np.array_equal(c, x[5:15, 10:30])
+
+    def test_brightness_clips(self):
+        x = np.full((4, 4, 3), 200, np.uint8)
+        assert im.adjust_brightness(x, 2.0).max() == 255
+        assert im.adjust_brightness(x, 0.5).max() == 100
+
+
+class TestAugmentUdfs:
+    def test_augment_images_matches_numpy(self, spark):
+        from hex2vec_spark.functions.augment import augment_images
+        from hex2vec_spark.sources.synth import images_table
+
+        img = images_table(spark, 20)
+        out = augment_images(img, ("hflip", "crop:0.5")).orderBy("image_id")
+        rows = out.collect()
+        src = {r["image_id"]: r for r in img.collect()}
+        assert len(rows) == 20
+        for r in rows:
+            px = im.decode_image(bytes(src[r["image_id"]]["bytes"]), src[r["image_id"]]["fmt"])
+            want = im.center_crop(im.hflip(px), 0.5)
+            assert (r["h"], r["w"]) == want.shape[:2]
+            assert r["phash"] == im.phash64(want)
+            got_px = im.png_decode(bytes(r["bytes"]))
+            assert np.array_equal(got_px, want)  # PNG is lossless
+            assert r["fmt"] == "png" and r["aug_ops"] == "hflip,crop:0.5"
+
+    def test_augment_unknown_op_raises_eagerly(self):
+        from hex2vec_spark.functions.augment import augment_udf
+
+        with pytest.raises(ValueError, match="unknown augment op"):
+            augment_udf(("spin",))
+
+    def test_ssim_roundtrip_bounds(self, spark):
+        from hex2vec_spark.functions.augment import ssim_roundtrip
+        from hex2vec_spark.sources.synth import images_table
+        from pyspark.sql import functions as F
+
+        img = images_table(spark, 12)
+        vals = [
+            r["s"]
+            for r in img.select(
+                ssim_roundtrip(F.col("bytes"), F.col("fmt")).alias("s")
+            ).collect()
+        ]
+        assert all(-1.0 <= v <= 1.0 for v in vals)
+        assert any(v < 1.0 for v in vals)  # downsample loses detail somewhere
+
+    def test_ssim_pairs_self_is_one(self, spark):
+        from hex2vec_spark.functions.augment import ssim_pairs
+        from hex2vec_spark.sources.synth import images_table
+        from pyspark.sql import functions as F
+
+        img = images_table(spark, 8)
+        out = img.select(
+            ssim_pairs(
+                F.col("bytes"), F.col("fmt"), F.col("bytes"), F.col("fmt")
+            ).alias("s")
+        ).collect()
+        assert all(r["s"] == 1.0 for r in out)
