@@ -1681,6 +1681,167 @@ def _q_combined_embed(spark, sf_dir):
     )
 
 
+def _q_parent_rollup(spark, sf_dir):
+    # H3 hierarchy (operators/hierarchy.py): res-9 image cells rolled up
+    # to their res-7 ancestors — ONE groupBy on a bit-truncated key,
+    # computed inside the scan stage. Rows-only here; the bit semantics
+    # are DuckDB-oracled by `parent_truncate_bits` and kernel-oracled by
+    # tests/test_hierarchy.py.
+    from hex2vec_spark.operators.hierarchy import rollup
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    pts = assign_h3(_images(spark), res=9)
+    return rollup(pts, 7, "h3").orderBy("parent")
+
+
+def _q_parent_truncate_bits(spark, sf_dir):
+    # hierarchy parent truncation vs INDEPENDENT DuckDB bit arithmetic:
+    # both sides synthesize the same res-9 H3-layout ids from o_orderkey
+    # (mode|res|base-cell|27 digit bits|filler), the engine truncates via
+    # operators/hierarchy.parent_col, the oracle via explicit masks.
+    from hex2vec_spark.operators.hierarchy import parent_col
+
+    o = _load(spark, sf_dir, "orders").select("o_orderkey")
+    h = (
+        F.lit(1 << 59)
+        .bitwiseOR(F.lit(9 << 52))
+        .bitwiseOR(F.shiftleft(F.col("o_orderkey") % 122, 45))
+        .bitwiseOR(
+            F.shiftleft((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1 << 27), 18)
+        )
+        .bitwiseOR(F.lit((1 << 18) - 1))
+    )
+    return (
+        o.select(h.alias("h3"))
+        .select(parent_col("h3", 7).alias("parent"))
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _q_compact_cover(spark, sf_dir):
+    # hierarchy compact/uncompact roundtrip as a gate query: distinct
+    # res-8 image cells, uncompacted to full res-9 coverage (7 children
+    # each), must compact back to EXACTLY the res-8 set. Deterministic;
+    # set-equality pinned by tests/test_hierarchy.py (pandas/python
+    # oracle) — the gate checks rows + schema stability.
+    from hex2vec_spark.operators.hierarchy import compact_cells, uncompact_cells
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    cells = assign_h3(_images(spark), res=8).select("h3").distinct()
+    full = uncompact_cells(cells, 9, "h3")
+    return compact_cells(full, "h3").orderBy("h3")
+
+
+def _merge_source(spark, sf_dir):
+    # deterministic MERGE source from orders: updates for custkeys
+    # ending in 3 (new acctbal = exact DECIMAL order-total sum), inserts
+    # for keys shifted out of the customer key space (ending in 7)
+    o = _load(spark, sf_dir, "orders")
+    upd = (
+        o.where(F.col("o_custkey") % 10 == 3)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("c_acctbal")
+        )
+    )
+    ins = (
+        o.where(F.col("o_custkey") % 10 == 7)
+        .groupBy((F.col("o_custkey") + 100000000).alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("c_acctbal")
+        )
+    )
+    return upd.unionByName(ins)
+
+
+def _q_merge_upsert(spark, sf_dir):
+    # Iceberg-style MERGE INTO as DataFrame algebra (operators/merge.py):
+    # WHEN MATCHED UPDATE SET c_acctbal, WHEN NOT MATCHED INSERT * —
+    # one left join + one anti-join on the same key; oracle is the
+    # equivalent LEFT JOIN + ANTI JOIN SQL in DuckDB.
+    from hex2vec_spark.operators.merge import merge_into
+
+    tgt = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return merge_into(tgt, _merge_source(spark, sf_dir), "c_custkey")
+
+
+def _q_merge_delete(spark, sf_dir):
+    # MERGE WHEN MATCHED DELETE (no insert): matched keys drop, oracle
+    # is a plain ANTI JOIN
+    from hex2vec_spark.operators.merge import merge_into
+
+    tgt = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return merge_into(
+        tgt,
+        _merge_source(spark, sf_dir),
+        "c_custkey",
+        when_matched="delete",
+        insert_unmatched=False,
+    )
+
+
+def _q_augment_images(spark, sf_dir):
+    # deterministic augmentation pipeline (functions/augment.py): decode
+    # -> hflip -> center crop -> re-encode PNG with refreshed w/h/phash;
+    # dims/phash pinned exactly vs NumPy in tests/test_image.py
+    from hex2vec_spark.functions.augment import augment_images
+
+    img = _images(spark, 300)
+    return augment_images(img, ("hflip", "crop:0.5")).select(
+        "image_id", "w", "h", "fmt", "phash", "aug_ops"
+    )
+
+
+def _q_image_ssim(spark, sf_dir):
+    # perceptual quality scoring: per-image downsample-roundtrip SSIM
+    # (hexlib/image.ssim, Wang et al. 2004) — corpus-filter feature
+    from hex2vec_spark.functions.augment import ssim_roundtrip
+
+    img = _images(spark, 300)
+    return img.select(
+        "image_id", F.round(ssim_roundtrip(F.col("bytes"), F.col("fmt")), 4).alias("ssim")
+    )
+
+
+def _q_corr_stats(spark, sf_dir):
+    # bivariate statistics per group: Pearson correlation, sample
+    # covariance, sample stddev — all JVM aggregates, one shuffle
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_histogram_bins(spark, sf_dir):
+    # fixed-width histogram via floor-bucket arithmetic (identical
+    # expression in the DuckDB oracle; Spark's width_bucket has no
+    # DuckDB counterpart)
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1768,6 +1929,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": _q_scalar_subquery,
         "range_join": _q_range_join,
         "interval_join_agg": _q_interval_join,
+        "parent_rollup": _q_parent_rollup,
+        "parent_truncate_bits": _q_parent_truncate_bits,
+        "compact_cover": _q_compact_cover,
+        "merge_upsert": _q_merge_upsert,
+        "merge_delete": _q_merge_delete,
+        "augment_images": _q_augment_images,
+        "image_ssim": _q_image_ssim,
+        "corr_stats": _q_corr_stats,
+        "histogram_bins": _q_histogram_bins,
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,
@@ -2378,6 +2548,69 @@ def oracle_sql() -> dict[str, str]:
                   FROM supplier) iv
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY s_suppkey
+        """,
+        "parent_truncate_bits": """
+            -- independent bit arithmetic for hierarchy parent_col:
+            -- clear res nibble (& ~(15<<52)), set res 7, fill digits
+            -- 8..15 with 7s (| (1<<24)-1); ids synthesized identically
+            SELECT ((h & -67553994410557441) | 31525197391593472 | 16777215)
+                       AS parent,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT (576460752303423488 | 40532396646334464
+                        | ((o_orderkey % 122) << 45)
+                        | (((o_orderkey * 2654435761) % 134217728) << 18)
+                        | 262143) AS h
+                FROM orders
+            )
+            GROUP BY parent
+        """,
+        "merge_upsert": """
+            WITH src AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           AS c_acctbal
+                FROM orders WHERE o_custkey % 10 = 3 GROUP BY o_custkey
+                UNION ALL
+                SELECT o_custkey + 100000000,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM orders WHERE o_custkey % 10 = 7 GROUP BY o_custkey
+            )
+            SELECT c.c_custkey, c.c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                        ELSE c.c_acctbal END AS c_acctbal,
+                   c.c_mktsegment
+            FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+            UNION ALL
+            SELECT s.c_custkey, NULL AS c_name, s.c_acctbal,
+                   NULL AS c_mktsegment
+            FROM src s ANTI JOIN customer c ON s.c_custkey = c.c_custkey
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc,
+                   ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram_bins": """
+            SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   ROUND(MIN(o_totalprice), 2) AS lo,
+                   ROUND(MAX(o_totalprice), 2) AS hi
+            FROM orders GROUP BY bucket
+        """,
+        "merge_delete": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+            FROM customer c
+            ANTI JOIN (
+                SELECT o_custkey AS c_custkey
+                FROM orders WHERE o_custkey % 10 = 3 GROUP BY o_custkey
+                UNION ALL
+                SELECT o_custkey + 100000000
+                FROM orders WHERE o_custkey % 10 = 7 GROUP BY o_custkey
+            ) s ON c.c_custkey = s.c_custkey
         """,
         "salted_join": """
             SELECT o_orderpriority, COUNT(*) AS n,

@@ -42,6 +42,16 @@ def __getattr__(name):
         "keep_canonical": "operators.components",
         "Checkpointer": "operators.ckpt",
         "sessionize": "operators.sessions",
+        "parent_col": "operators.hierarchy",
+        "children_col": "operators.hierarchy",
+        "rollup": "operators.hierarchy",
+        "compact_cells": "operators.hierarchy",
+        "uncompact_cells": "operators.hierarchy",
+        "merge_into": "operators.merge",
+        "merge_table": "operators.merge",
+        "augment_images": "functions.augment",
+        "ssim_roundtrip": "functions.augment",
+        "ssim_pairs": "functions.augment",
         "sample_frames": "functions.multimodal",
         "extract_frames": "functions.multimodal",
         "resize_images": "functions.multimodal",
