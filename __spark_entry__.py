@@ -1842,6 +1842,21 @@ def _q_histogram_bins(spark, sf_dir):
     )
 
 
+def _q_compact_tiling(spark, sf_dir):
+    # per-region compacted tiling cover: every region's res-8 polyfill
+    # compacted independently in ONE sweep (group_cols), summarized as
+    # cell counts per (region, resolution). The classic H3 trick —
+    # O(boundary) storage for O(area) coverage.
+    from hex2vec_spark.operators.hierarchy import compact_cells, resolution_col
+
+    comp = compact_cells(_tiling_sdf(spark), "h3", group_cols=["region_id"])
+    return (
+        comp.groupBy("region_id", resolution_col("h3").alias("res"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("region_id", "res")
+    )
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1938,6 +1953,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": _q_image_ssim,
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
+        "compact_tiling": _q_compact_tiling,
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,

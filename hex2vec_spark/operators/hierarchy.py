@@ -142,7 +142,9 @@ def uncompact_cells(df: DataFrame, res: int, h3_col: str = "h3") -> DataFrame:
     Planned as a UNION of per-input-resolution branches (each branch's
     children expression constant-folds); a finer-than-``res`` input
     cell raises, matching h3's uncompact contract. Row growth is the
-    inherent 7^(res-r) — callers own the blow-up budget.
+    inherent 7^(res-r) — callers own the blow-up budget. Non-cell
+    columns ride along unchanged (so a per-region compact cover
+    uncompacts back to a per-region flat cover).
     """
     spark = df.sparkSession
     present = [
@@ -153,11 +155,12 @@ def uncompact_cells(df: DataFrame, res: int, h3_col: str = "h3") -> DataFrame:
     if bad:
         raise ValueError(f"uncompact to res {res}: finer input cells exist: {bad}")
     if not present:
-        return spark.createDataFrame([], f"{h3_col} long")
+        return df
+    others = [c for c in df.columns if c != h3_col]
     parts = []
     for r in sorted(present):
         branch = df.where(resolution_col(h3_col) == F.lit(r)).select(
-            F.explode(children_col(h3_col, r, res)).alias(h3_col)
+            *others, F.explode(children_col(h3_col, r, res)).alias(h3_col)
         )
         parts.append(branch)
     out = parts[0]
@@ -169,6 +172,7 @@ def uncompact_cells(df: DataFrame, res: int, h3_col: str = "h3") -> DataFrame:
 def compact_cells(
     df: DataFrame,
     h3_col: str = "h3",
+    group_cols: list[str] | tuple = (),
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
 ) -> DataFrame:
@@ -183,17 +187,25 @@ def compact_cells(
     — same fault-tolerance contract as connected_components). At most
     15 rounds regardless of input size: scale-safe by construction.
 
-    Input is treated as a SET (deduped); like h3's compact it requires
-    a VALID cover — no cell may be an ancestor of another (h3's own
-    contract; such input makes the merge ill-defined). Output is the
-    minimal hexagon-conservative cover (see module docstring for the
-    pentagon caveat).
+    ``group_cols``: compact each group independently in the SAME
+    sweep (e.g. a per-region compacted tiling cover) — the parent
+    groupBy and anti-join just carry the group key, so one pass over
+    all regions, not a loop.
+
+    Input is treated as a SET (deduped per group); like h3's compact
+    it requires a VALID cover — no cell may be an ancestor of another
+    (h3's own contract; such input makes the merge ill-defined).
+    Output is the minimal hexagon-conservative cover (see module
+    docstring for the pentagon caveat).
     """
     from .ckpt import Checkpointer
 
     spark = df.sparkSession
+    gcols = list(group_cols)
     ckpt = Checkpointer(spark, checkpoint_dir, checkpoint_every)
-    pool = ckpt(df.select(F.col(h3_col).alias(h3_col)).distinct(), eager=True)
+    pool = ckpt(
+        df.select(*gcols, F.col(h3_col).alias(h3_col)).distinct(), eager=True
+    )
     emitted: DataFrame | None = None
     while True:
         # process the FINEST level still pooled (skips empty levels; a
@@ -209,10 +221,10 @@ def compact_cells(
         # decision, so without this it would be recomputed three times
         promoted = (
             cur.withColumn("_p", parent_col(h3_col, r - 1))
-            .groupBy("_p")
+            .groupBy(*gcols, "_p")
             .agg(F.count(F.lit(1)).alias("_n"))  # pool is distinct: count==distinct
             .where(F.col("_n") == 7)
-            .select(F.col("_p").alias(h3_col))
+            .select(*gcols, F.col("_p").alias(h3_col))
             .localCheckpoint(eager=True)
         )
         n_prom = promoted.count()
@@ -221,10 +233,10 @@ def compact_cells(
             cur.withColumn("_p", parent_col(h3_col, r - 1))
             .join(
                 F.broadcast(prom_key) if n_prom <= 100_000 else prom_key,
-                "_p",
+                [*gcols, "_p"],
                 "left_anti",
             )
-            .select(h3_col)
+            .select(*gcols, h3_col)
         )
         emitted = keep if emitted is None else emitted.unionAll(keep)
         # zero promotions: rest is one filter off already-materialized

@@ -128,11 +128,12 @@ def merge_table(
     insert_unmatched: bool = True,
     partition_res: int | None = 4,
     h3_col: str = "h3",
+    snapshot_extra: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE against an iceberg_lite table: latest
     snapshot -> :func:`merge_into` -> new ``overwrite`` snapshot (old
     snapshots remain time-travel readable). Returns the new snapshot
-    record (with ``op: merge`` noted in the snapshot extra)."""
+    record (with the merge keys noted in the snapshot extra)."""
     from ..sources.iceberg_lite import commit_table, read_table
 
     merged = merge_into(
@@ -149,5 +150,8 @@ def merge_table(
         mode="overwrite",
         partition_res=partition_res,
         h3_col=h3_col,
-        snapshot_extra={"merge_on": [on] if isinstance(on, str) else list(on)},
+        snapshot_extra={
+            "merge_on": [on] if isinstance(on, str) else list(on),
+            **(snapshot_extra or {}),
+        },
     )

@@ -160,3 +160,103 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], version_col: str | None
+) -> DataFrame:
+    """Reduce a CDC micro-batch to its newest row per key. With a
+    ``version_col``, rank by (version desc, remaining columns desc) —
+    the full-row tiebreak keeps the pick deterministic even on equal
+    versions. Without one, the batch is passed through and downstream
+    MERGE raises on duplicate keys (telling the caller to supply a
+    version column) rather than picking a row arbitrarily."""
+    if version_col is None:
+        return df
+    from pyspark.sql.window import Window
+
+    order = [F.col(version_col).desc()] + [
+        F.col(c).desc() for c in df.columns if c != version_col and c not in keys
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def run_upsert_available_now(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str] | tuple = ("image_id",),
+    version_col: str | None = None,
+    schema=IMAGES_SCHEMA,
+    partition_res: int | None = None,
+    max_files: int = 16,
+) -> None:
+    """CDC-style streaming upsert: every micro-batch MERGEs into an
+    iceberg_lite table (operators/merge.merge_table) as a
+    copy-on-write snapshot — the Structured-Streaming analog of an
+    Iceberg `MERGE INTO` sink, which Spark's built-in sinks cannot
+    express (parquet sink is append/complete only).
+
+    Exactly-once story, layered:
+
+    * the checkpoint gives at-least-once foreachBatch invocation with
+      a monotonically increasing epoch id;
+    * each commit records its epoch in the snapshot
+      (``stream_epoch``); a replayed epoch (failure between sink
+      completion and checkpoint commit) is detected against the
+      latest snapshot and skipped — no double-apply;
+    * and MERGE itself is idempotent anyway (re-merging the same
+      source leaves the table unchanged: matched rows re-update to
+      identical values, their keys no longer insert), so even a
+      missed epoch check degrades to a redundant-but-correct commit.
+
+    Single-writer per table (iceberg_lite has no commit-conflict
+    resolution — the real Iceberg's optimistic retry is out of scope).
+    """
+    from ..operators.merge import merge_table
+    from ..sources.iceberg_lite import commit_table, snapshots
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+    key_list = list(keys)
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        log = snapshots(table_path)
+        if log and log[-1].get("stream_epoch") == epoch:
+            return  # replayed epoch: already applied
+        latest = latest_per_key(batch_df, key_list, version_col)
+        if not log:
+            commit_table(
+                latest,
+                table_path,
+                mode="overwrite",
+                partition_res=partition_res,
+                snapshot_extra={"stream_epoch": epoch},
+            )
+        else:
+            merge_table(
+                spark,
+                table_path,
+                latest,
+                key_list,
+                partition_res=partition_res,
+                snapshot_extra={"stream_epoch": epoch},
+            )
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -157,3 +157,47 @@ class TestCompactUncompact:
         compacted = compact_cells(df, "h3")
         back = sorted(r[0] for r in uncompact_cells(compacted, 7, "h3").collect())
         assert back == sorted(full)
+
+
+class TestPerGroupCompact:
+    def test_groups_compact_independently(self, spark):
+        # group A holds a FULL 7-child set, group B the same set minus
+        # one child: A merges, B must not — in one sweep
+        parent = int(np.int64(_sample_cells(6, n=1)[0]))
+        kids = sorted(uncompact_py({parent}, 7))
+        rows = [("A", c) for c in kids] + [("B", c) for c in kids[:-1]]
+        df = spark.createDataFrame(rows, "g string, h3 long")
+        got = sorted(
+            (r["g"], r["h3"])
+            for r in compact_cells(df, "h3", group_cols=["g"]).collect()
+        )
+        want = sorted([("A", parent)] + [("B", c) for c in kids[:-1]])
+        assert got == want
+
+    def test_per_group_matches_python_per_group(self, spark):
+        rng = np.random.default_rng(23)
+        groups = {}
+        for gi, g in enumerate(["r1", "r2", "r3"]):
+            base = {int(np.int64(c)) for c in _sample_cells(6, n=6, seed=50 + gi)}
+            cells = set()
+            for c in base:
+                kids = uncompact_py({c}, 8)
+                cells |= {k for k in kids if rng.random() > 0.02}
+            groups[g] = cells
+        rows = [(g, c) for g, cs in groups.items() for c in cs]
+        df = spark.createDataFrame(rows, "g string, h3 long")
+        got = {}
+        for r in compact_cells(df, "h3", group_cols=["g"]).collect():
+            got.setdefault(r["g"], set()).add(r["h3"])
+        for g, cs in groups.items():
+            assert got[g] == compact_py(cs), g
+
+    def test_uncompact_carries_group_columns(self, spark):
+        parent = int(np.int64(_sample_cells(5, n=1)[0]))
+        df = spark.createDataFrame([("A", parent), ("B", parent)], "g string, h3 long")
+        out = uncompact_cells(df, 6, "h3")
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["g"], set()).add(r["h3"])
+        want = uncompact_py({parent}, 6)
+        assert got == {"A": want, "B": want}
