@@ -1857,6 +1857,23 @@ def _q_compact_tiling(spark, sf_dir):
     )
 
 
+def _q_neighborhood_smooth(spark, sf_dir):
+    # spatial-lag smoothing: per-cell image counts averaged over the
+    # k-ring neighborhood present in the corpus (explode k_ring -> one
+    # equi-join -> one groupBy mean; exact python oracle in
+    # tests/test_ops.py::TestNeighborhoodSmooth)
+    from hex2vec_spark.operators.neighbors import neighborhood_smooth
+    from hex2vec_spark.operators.spatial import assign_h3
+
+    counts = (
+        assign_h3(_images(spark), res=8)
+        .groupBy("h3")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = neighborhood_smooth(counts, ["n"], k=1)
+    return out.select("h3", F.round("n_smooth", 6).alias("n_smooth")).orderBy("h3")
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1954,6 +1971,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
         "compact_tiling": _q_compact_tiling,
+        "neighborhood_smooth": _q_neighborhood_smooth,
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,

@@ -27,6 +27,8 @@ def __getattr__(name):
         "adaptive_salted_count": "operators.agg",
         "context_pairs": "operators.neighbors",
         "sample_negatives": "operators.neighbors",
+        "neighborhood_smooth": "operators.neighbors",
+        "run_upsert_available_now": "streaming.ingest",
         "cosine_topk": "operators.knn",
         "build_ivf_index": "operators.knn",
         "query_ivf_index": "operators.knn",

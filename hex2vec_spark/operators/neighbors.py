@@ -99,3 +99,71 @@ def sample_negatives(
         .where(F.col("_rank") <= n_per_input)
         .select("input_h3", "neg_h3")
     )
+
+
+def neighborhood_smooth(
+    features: DataFrame,
+    value_cols: list[str],
+    h3_col: str = "h3",
+    k: int = 1,
+    include_self: bool = True,
+    weight_self: float = 1.0,
+    materialize: bool = True,
+) -> DataFrame:
+    """Spatially smooth per-cell features over their k-ring neighborhood
+    (mean over the neighbors PRESENT in the corpus).
+
+    The contextual-feature analog of the reference's k_ring context
+    windows (h3_neighbor_dataset.py:21-26): a cell's smoothed value is
+    the (optionally self-weighted) average of its own value and its
+    k-ring neighbors' — the standard spatial-lag feature for
+    hexagon-level models, and a denoiser for sparse tag counts.
+
+    Plan shape (the only scale-correct one): explode k_ring (pure
+    arithmetic, Arrow-batched) -> ONE equi-join pulling each
+    neighbor's feature row -> ONE groupBy(cell) mean. Both shuffles
+    key on near-unique cell ids — no skew. Missing neighbors (outside
+    the corpus) simply don't contribute, matching the reference's
+    intersect-with-index semantics.
+
+    ``weight_self``: relative weight of the cell's own value when
+    ``include_self`` (1.0 = plain mean; 6.0 approximates a center-
+    weighted kernel at k=1).
+
+    ``materialize`` localCheckpoints the feature table once before the
+    self-join — same reason as :func:`context_pairs`: both join sides
+    would otherwise carry the full input lineage (often the H3 encode
+    expression chain), recomputing it AND handing the optimizer a
+    self-join of two deep alias stacks to walk.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if materialize:
+        features = features.localCheckpoint(eager=False)
+    cells = features.select(
+        F.col(h3_col).alias("_c"),
+        *[F.col(c) for c in value_cols],
+    )
+    edges = features.select(
+        F.col(h3_col).alias("_c"),
+        F.explode(
+            h3_kring_udf(k=k, include_self=False)(F.col(h3_col))
+        ).alias("_n"),
+    ).withColumn("_w", F.lit(1.0))
+    if include_self:
+        self_edges = features.select(
+            F.col(h3_col).alias("_c"), F.col(h3_col).alias("_n")
+        ).withColumn("_w", F.lit(float(weight_self)))
+        edges = edges.unionByName(self_edges)
+    pulled = edges.join(
+        cells.withColumnRenamed("_c", "_n"), "_n", "inner"
+    )
+    aggs = [
+        (F.sum(F.col(c) * F.col("_w")) / F.sum("_w")).alias(f"{c}_smooth")
+        for c in value_cols
+    ]
+    return (
+        pulled.groupBy("_c")
+        .agg(*aggs)
+        .withColumnRenamed("_c", h3_col)
+    )

@@ -1108,3 +1108,84 @@ class TestIntervalJoin:
         iv = spark.createDataFrame([(7, -100.0, 100.0)], "iid int, lo double, hi double")
         got = sorted(r["pid"] for r in interval_join(pts, iv, "val", "lo", "hi", 100.0).collect())
         assert got == [1]
+
+
+class TestNeighborhoodSmooth:
+    def _corpus(self, spark, n=80):
+        import numpy as np
+        from hex2vec_spark.hexlib import h3core
+
+        rng = np.random.default_rng(31)
+        lat = rng.uniform(49.0, 53.0, n)
+        lng = rng.uniform(15.0, 22.0, n)
+        cells = sorted({int(c) for c in h3core.encode(lat, lng, 7).view(np.int64)})
+        rows = [(c, float(c % 97), float(c % 13)) for c in cells]
+        return cells, spark.createDataFrame(rows, "h3 long, v double, u double")
+
+    def _oracle(self, cells, k, include_self, weight_self):
+        import numpy as np
+        from hex2vec_spark.hexlib import h3core
+
+        arr = np.array(cells, dtype=np.int64).view(np.uint64)
+        src, ring = h3core.kring_flat(arr, k)
+        present = set(cells)
+        want = {}
+        for c in cells:
+            want[c] = []
+        for s, r in zip(src, ring):
+            c = cells[int(s)]
+            rr = int(np.int64(r))
+            if rr == c:
+                continue
+            if rr in present:
+                want[c].append((rr, 1.0))
+        if include_self:
+            for c in cells:
+                want[c].append((c, weight_self))
+        out = {}
+        for c, pairs in want.items():
+            tw = sum(w for _, w in pairs)
+            out[c] = (
+                sum((n % 97) * w for n, w in pairs) / tw,
+                sum((n % 13) * w for n, w in pairs) / tw,
+            )
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        from hex2vec_spark.operators.neighbors import neighborhood_smooth
+
+        cells, df = self._corpus(spark)
+        got = {
+            r["h3"]: (r["v_smooth"], r["u_smooth"])
+            for r in neighborhood_smooth(df, ["v", "u"], k=1).collect()
+        }
+        want = self._oracle(cells, 1, True, 1.0)
+        assert set(got) == set(want)
+        for c in cells:
+            assert abs(got[c][0] - want[c][0]) < 1e-9, c
+            assert abs(got[c][1] - want[c][1]) < 1e-9, c
+
+    def test_self_weight_and_exclude(self, spark):
+        from hex2vec_spark.operators.neighbors import neighborhood_smooth
+
+        cells, df = self._corpus(spark, 40)
+        got = {
+            r["h3"]: r["v_smooth"]
+            for r in neighborhood_smooth(
+                df, ["v"], k=1, weight_self=6.0
+            ).collect()
+        }
+        want = self._oracle(cells, 1, True, 6.0)
+        for c in cells:
+            assert abs(got[c] - want[c][0]) < 1e-9
+        # exclude self: isolated cells (no in-corpus neighbors) drop out
+        got2 = neighborhood_smooth(df, ["v"], k=1, include_self=False)
+        assert got2.count() <= len(cells)
+
+    def test_empty_value_cols_raises(self, spark):
+        import pytest as _pytest
+        from hex2vec_spark.operators.neighbors import neighborhood_smooth
+
+        _, df = self._corpus(spark, 5)
+        with _pytest.raises(ValueError, match="non-empty"):
+            neighborhood_smooth(df, [])
