@@ -120,3 +120,59 @@ class TestMergeTable:
             for r in read_table(spark, root, snapshot_id=s0["id"]).collect()
         }
         assert old == {10: 1.0, 11: 2.0}
+
+
+def _pandas_merge(tgt, src, key="k"):
+    """Independent pandas reference for merge_into upsert semantics."""
+    import pandas as pd
+
+    t = tgt.set_index(key, drop=False)
+    s = src.set_index(key, drop=False)
+    out = t.copy()
+    for k in s.index:
+        if k in t.index and not pd.isna(k):
+            for c in s.columns:
+                if c != key and c in out.columns:
+                    out.loc[k, c] = s.loc[k, c]
+    inserts = s[~s.index.isin(t.index) | s.index.isna()]
+    return pd.concat([out, inserts[out.columns]], ignore_index=True)
+
+
+class TestMergeProperty:
+    def test_random_frames_match_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            nt, ns = int(r.integers(1, 40)), int(r.integers(1, 25))
+            tkeys = r.choice(100, size=nt, replace=False)
+            skeys = r.choice(100, size=ns, replace=False)
+            tgt = pd.DataFrame(
+                {"k": tkeys.astype("int64"),
+                 "a": r.normal(size=nt).round(3),
+                 "b": [f"t{v}" for v in r.integers(0, 9, nt)]}
+            )
+            src = pd.DataFrame(
+                {"k": skeys.astype("int64"),
+                 "a": r.normal(size=ns).round(3),
+                 "b": [f"s{v}" for v in r.integers(0, 9, ns)]}
+            )
+            from hex2vec_spark.operators.merge import merge_into
+
+            got = (
+                merge_into(
+                    spark.createDataFrame(tgt), spark.createDataFrame(src), "k"
+                )
+                .toPandas()
+                .sort_values(["k"])
+                .reset_index(drop=True)
+            )
+            want = (
+                _pandas_merge(tgt, src)
+                .sort_values(["k"])
+                .reset_index(drop=True)
+                .astype(got.dtypes.to_dict())
+            )
+            pd.testing.assert_frame_equal(got, want, check_like=True), seed

@@ -213,3 +213,55 @@ class TestCoarseResolutionCover:
         ln = np.array([-179.9, 179.9])
         cand = h3core.cells_covering_bbox(la, ln, 0, pad_cells=1.0)
         assert len(np.unique(cand)) == 122
+
+
+class TestHierarchyProperties:
+    """compact/uncompact invariants on arbitrary valid covers (the
+    pure-python references that gate the Spark operator, plus the bit
+    kernel vs the NumPy kernel)."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(lat=BBOX_LAT, lng=BBOX_LNG, res=st.integers(min_value=2, max_value=9))
+    def test_parent_fill_matches_kernel(self, lat, lng, res):
+        from hex2vec_spark.operators.hierarchy import _RES_CLEAR, _fill_mask
+
+        cell = h3core.encode(np.array([lat]), np.array([lng]), res)
+        for pres in range(0, res + 1):
+            via_bits = (int(cell[0]) & _RES_CLEAR) | (pres << 52) | _fill_mask(pres)
+            via_kernel = int(h3core.cell_to_parent(cell, pres)[0])
+            assert via_bits == via_kernel
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        lat=BBOX_LAT,
+        lng=BBOX_LNG,
+        res=st.integers(min_value=3, max_value=7),
+        depth=st.integers(min_value=1, max_value=2),
+        data=st.data(),
+    )
+    def test_compact_invariants(self, lat, lng, res, depth, data):
+        from hex2vec_spark.operators.hierarchy import compact_py, uncompact_py
+
+        base = {int(np.int64(h3core.encode(np.array([lat]), np.array([lng]), res)[0]))}
+        full = uncompact_py(base, res + depth)
+        # arbitrary subset (valid cover: single resolution, no overlap)
+        drop = data.draw(st.sets(st.sampled_from(sorted(full)), max_size=10))
+        cover = full - drop
+        comp = compact_py(cover)
+        # 1) lossless coverage roundtrip
+        assert uncompact_py(comp, res + depth) == cover
+        # 2) idempotent
+        assert compact_py(comp) == comp
+        # 3) result is an antichain: no cell is an ancestor of another
+        for a in comp:
+            ra = (a >> 52) & 0xF
+            for b in comp:
+                rb = (b >> 52) & 0xF
+                if a == b or rb <= ra:
+                    continue
+                from hex2vec_spark.operators.hierarchy import _RES_CLEAR, _fill_mask
+
+                anc = (b & _RES_CLEAR) | (ra << 52) | _fill_mask(ra)
+                assert anc != a, (a, b)
+        # 4) full coverage compacts all the way back to the base cell
+        assert compact_py(full) == base
