@@ -1874,6 +1874,49 @@ def _q_neighborhood_smooth(spark, sf_dir):
     return out.select("h3", F.round("n_smooth", 6).alias("n_smooth")).orderBy("h3")
 
 
+def _q_table_maintenance(spark, sf_dir):
+    # Iceberg maintenance lifecycle in a temp root: 3 append commits of
+    # small files -> bin-pack compaction (rewriteDataFiles analog) ->
+    # expire_snapshots (keep_last=1, dead dirs reclaimed) -> read back.
+    # Deterministic rows; exact invariants pinned by
+    # tests/test_pipeline.py::TestTableMaintenance.
+    import shutil
+    import tempfile
+
+    from hex2vec_spark.sources.iceberg_lite import (
+        commit_table,
+        compact_data_files,
+        data_file_count,
+        expire_snapshots,
+        read_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="hexmaint_")
+    try:
+        for i in range(3):
+            df = spark.createDataFrame(
+                [(i * 100 + j, float((i * 7 + j) % 5)) for j in range(40)],
+                "h3 long, v double",
+            ).repartition(4)
+            commit_table(df, root, mode="append", partition_res=None)
+        files_before = data_file_count(root)
+        compact_data_files(spark, root, target_rows_per_file=60)
+        res = expire_snapshots(root, keep_last=1)
+        out = (
+            read_table(spark, root)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("files_before", F.lit(files_before))
+            .withColumn("files_after", F.lit(data_file_count(root)))
+            .withColumn("dirs_reclaimed", F.lit(len(res["deleted_dirs"])))
+            .orderBy("v")
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _lang_id_ngram_oracle() -> str:
     # composed from the SAME bigram profile as the Spark operator
     from hex2vec_spark.operators.text import EN_BIGRAMS
@@ -1972,6 +2015,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _q_histogram_bins,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
+        "table_maintenance": _q_table_maintenance,
         "cube_counts": _q_cube_counts,
         "salted_join": _q_salted_join,
         "windowed_counts": _q_windowed_counts,

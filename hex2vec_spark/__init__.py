@@ -68,6 +68,8 @@ def __getattr__(name):
         "commit_table": "sources.iceberg_lite",
         "read_table": "sources.iceberg_lite",
         "run_stage": "sources.iceberg_lite",
+        "expire_snapshots": "sources.iceberg_lite",
+        "compact_data_files": "sources.iceberg_lite",
     }
     if name in api:
         import importlib

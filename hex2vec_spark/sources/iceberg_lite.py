@@ -373,3 +373,112 @@ def read_stage(spark: SparkSession, out_path: str, n_buckets: int | None = None)
             *[os.path.join(out_path, f"bucket={b}") for b in range(n_buckets)]
         )
     return spark.read.parquet(os.path.join(out_path, "bucket=*"))
+
+
+# --------------------------------------------- table maintenance (round 4)
+
+def expire_snapshots(
+    path: str,
+    keep_last: int | None = None,
+    older_than_ts: float | None = None,
+) -> dict:
+    """Iceberg ``expireSnapshots`` analog: drop old snapshots from the
+    log and delete the data dirs ONLY they referenced.
+
+    ``keep_last=n`` keeps the n newest snapshots; ``older_than_ts``
+    expires snapshots with ``ts < older_than_ts``. Both may combine
+    (a snapshot expires only if it fails BOTH keeps). The latest
+    snapshot is always kept. Every kept snapshot stays byte-identically
+    readable: a data dir is removed from disk only when NO kept
+    snapshot's ``data_dirs`` references it (dirs are shared across
+    append snapshots, so expiry typically reclaims only the dirs that
+    overwrite/compact commits obsoleted).
+
+    Metadata-only plus local dir deletes — no Spark job. Returns
+    ``{"kept": [...ids], "expired": [...ids], "deleted_dirs": [...]}``.
+    """
+    import shutil
+
+    log = snapshots(path)
+    if not log:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if keep_last is None and older_than_ts is None:
+        raise ValueError("need keep_last and/or older_than_ts")
+    keep = set()
+    keep.add(log[-1]["id"])  # latest always survives
+    if keep_last is not None:
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep.update(s["id"] for s in log[-keep_last:])
+    if older_than_ts is not None:
+        keep.update(s["id"] for s in log if s["ts"] >= older_than_ts)
+    kept = [s for s in log if s["id"] in keep]
+    expired = [s for s in log if s["id"] not in keep]
+    live_dirs = {d for s in kept for d in s["data_dirs"]}
+    dead_dirs = sorted(
+        {d for s in expired for d in s["data_dirs"]} - live_dirs
+    )
+    for d in dead_dirs:
+        full = os.path.join(path, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+    tmp = _snapshots_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kept, f, indent=1)
+    os.replace(tmp, _snapshots_path(path))
+    return {
+        "kept": [s["id"] for s in kept],
+        "expired": [s["id"] for s in expired],
+        "deleted_dirs": dead_dirs,
+    }
+
+
+def data_file_count(path: str, snapshot_id: int | None = None) -> int:
+    """Number of parquet data files a snapshot reads (footer-free walk)."""
+    log = snapshots(path)
+    snap = log[-1] if snapshot_id is None else next(
+        s for s in log if s["id"] == snapshot_id
+    )
+    n = 0
+    for d in snap["data_dirs"]:
+        for root, _dirs, files in os.walk(os.path.join(path, d)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_data_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_res: int | None = None,
+    h3_col: str = "h3",
+) -> dict:
+    """Iceberg ``rewriteDataFiles`` (bin-packing) analog: read the
+    latest snapshot, rewrite it as ONE overwrite commit with
+    ~``target_rows_per_file`` rows per file. Append-heavy and
+    streaming-upsert tables accumulate a data dir per commit with
+    small files each — at 10^12 rows the scan's file-open overhead and
+    driver file listing dominate unless periodically compacted.
+
+    Rows are byte-identical (it is the same DataFrame rewritten);
+    prior snapshots stay readable until :func:`expire_snapshots`
+    reclaims them. Returns the new snapshot record.
+
+    With ``partition_res`` set, commit_table's range-partitioned
+    h3 layout governs file counts instead (one file per shuffle
+    partition per h3_p4 dir — size via spark.sql.shuffle.partitions);
+    the explicit ``target_rows_per_file`` repartition applies to the
+    unpartitioned layout (default).
+    """
+    df = read_table(spark, path)
+    total = df.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    out = df.repartition(n_files)
+    return commit_table(
+        out,
+        path,
+        mode="overwrite",
+        partition_res=partition_res,
+        h3_col=h3_col,
+        snapshot_extra={"compaction": {"files_target": n_files, "rows": int(total)}},
+    )

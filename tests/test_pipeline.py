@@ -483,3 +483,85 @@ class TestResume:
         assert all(m2["buckets"][k]["seconds"] == secs_kept[k] for k in ("0", "1"))
         assert {k: v["rows"] for k, v in m2["buckets"].items()} == rows1
         assert read_stage(spark, out).count() == total1
+
+
+class TestTableMaintenance:
+    def _build(self, spark, tmp_path, n_commits=4):
+        from hex2vec_spark.sources.iceberg_lite import commit_table
+
+        root = str(tmp_path / "tbl")
+        for i in range(n_commits):
+            df = spark.createDataFrame(
+                [(i * 10 + j, float(i)) for j in range(5)], "h3 long, v double"
+            ).repartition(3)
+            commit_table(df, root, mode="append", partition_res=None)
+        return root
+
+    def test_compact_preserves_rows_and_shrinks_files(self, spark, tmp_path):
+        from hex2vec_spark.sources.iceberg_lite import (
+            compact_data_files, data_file_count, read_table, snapshots,
+        )
+
+        root = self._build(spark, tmp_path)
+        before = sorted(
+            (r["h3"], r["v"]) for r in read_table(spark, root).collect()
+        )
+        nf_before = data_file_count(root)
+        snap = compact_data_files(spark, root, target_rows_per_file=100)
+        assert snap["compaction"]["rows"] == len(before)
+        after = sorted(
+            (r["h3"], r["v"]) for r in read_table(spark, root).collect()
+        )
+        assert after == before
+        assert data_file_count(root) < nf_before
+        # pre-compaction snapshot still readable
+        prev_id = snapshots(root)[-2]["id"]
+        old = sorted(
+            (r["h3"], r["v"])
+            for r in read_table(spark, root, snapshot_id=prev_id).collect()
+        )
+        assert old == before
+
+    def test_expire_reclaims_only_dead_dirs(self, spark, tmp_path):
+        import os
+
+        from hex2vec_spark.sources.iceberg_lite import (
+            compact_data_files, expire_snapshots, read_table, snapshots,
+        )
+
+        root = self._build(spark, tmp_path)
+        full = sorted((r["h3"], r["v"]) for r in read_table(spark, root).collect())
+        compact_data_files(spark, root, target_rows_per_file=100)
+        res = expire_snapshots(root, keep_last=1)
+        # only the compacted snapshot remains; all pre-compaction dirs die
+        log = snapshots(root)
+        assert [s["id"] for s in log] == res["kept"] and len(log) == 1
+        assert len(res["deleted_dirs"]) >= 1
+        for d in res["deleted_dirs"]:
+            assert not os.path.exists(os.path.join(root, d))
+        after = sorted((r["h3"], r["v"]) for r in read_table(spark, root).collect())
+        assert after == full
+
+    def test_expire_keeps_shared_dirs(self, spark, tmp_path):
+        import os
+
+        from hex2vec_spark.sources.iceberg_lite import expire_snapshots, read_table, snapshots
+
+        root = self._build(spark, tmp_path, n_commits=3)
+        # append snapshots SHARE dirs: expiring older appends must not
+        # delete dirs the latest snapshot still reads
+        res = expire_snapshots(root, keep_last=1)
+        assert res["deleted_dirs"] == []
+        assert len(snapshots(root)) == 1
+        assert read_table(spark, root).count() == 15
+
+    def test_expire_latest_always_kept_and_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hex2vec_spark.sources.iceberg_lite import expire_snapshots, snapshots
+
+        root = self._build(spark, tmp_path, n_commits=2)
+        with _pytest.raises(ValueError, match="keep_last"):
+            expire_snapshots(root)
+        res = expire_snapshots(root, older_than_ts=float("inf"))
+        assert res["kept"] == [snapshots(root)[-1]["id"]]
