@@ -1842,6 +1842,34 @@ def _q_histogram_bins(spark, sf_dir):
     )
 
 
+def _q_distance_pairs(spark, sf_dir):
+    # distance-radius spatial join (operators/geo_join.distance_join):
+    # latitude-band grid bucketing + 3x3 candidate explode + exact
+    # haversine verify, all JVM expressions — every pair of synthetic
+    # geotags within 800 m. The oracle is the quadratic self-join with
+    # the identical haversine formula (term-for-term, so both engines
+    # round the same way at the radius boundary).
+    from hex2vec_spark.operators.geo_join import distance_join
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(500)
+        .select(
+            "vec_id",
+            (F.lit(50.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.3).alias("lat"),
+            (F.lit(19.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.45).alias("lng"),
+        )
+    )
+    right = pts.select(
+        F.col("vec_id").alias("r_id"), F.col("lat").alias("rlat"), F.col("lng").alias("rlng")
+    )
+    out = distance_join(pts, right, 800.0, right_lat_col="rlat", right_lng_col="rlng")
+    return out.where(F.col("vec_id") < F.col("r_id")).select(
+        F.col("vec_id").alias("l_id"), "r_id", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
 def _q_compact_tiling(spark, sf_dir):
     # per-region compacted tiling cover: every region's res-8 polyfill
     # compacted independently in ONE sweep (group_cols), summarized as
@@ -2013,6 +2041,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": _q_image_ssim,
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
+        "distance_pairs": _q_distance_pairs,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
         "table_maintenance": _q_table_maintenance,
@@ -2678,6 +2707,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(o_totalprice), 2) AS lo,
                    ROUND(MAX(o_totalprice), 2) AS hi
             FROM orders GROUP BY bucket
+        """,
+        "distance_pairs": """
+            WITH pts AS (
+                SELECT vec_id,
+                       50.0 + CAST(embedding[1] AS DOUBLE) * 0.3 AS lat,
+                       19.0 + CAST(embedding[2] AS DOUBLE) * 0.45 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 500
+            ), pairs AS (
+                SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+                       2 * 6371008.8 * ASIN(SQRT(LEAST(1.0,
+                           POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
+                         + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                           * POW(SIN((RADIANS(b.lng) - RADIANS(a.lng)) / 2), 2)
+                       ))) AS dist
+                FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+            )
+            SELECT l_id, r_id, ROUND(dist, 3) AS dist_m
+            FROM pairs WHERE dist <= 800.0
         """,
         "merge_delete": """
             SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment

@@ -33,6 +33,8 @@ def __getattr__(name):
         "build_ivf_index": "operators.knn",
         "query_ivf_index": "operators.knn",
         "salted_equi_join": "operators.joins",
+        "distance_join": "operators.geo_join",
+        "haversine_m_expr": "operators.geo_join",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
         "skipgram_fit_sharded": "operators.embed",

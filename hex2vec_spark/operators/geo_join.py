@@ -1,0 +1,166 @@
+"""Distance-radius spatial join: all (left, right) point pairs within
+``radius_m`` meters — the geo join the reference performs implicitly when
+it buffers geometries before ``gpd.sjoin`` (make_dataset.py:26-58 buffers
+by a metric distance, then joins on intersection).
+
+Re-expressed for Spark as a **latitude-band grid join** rather than an
+R-tree or a crossJoin:
+
+  1. Both sides are bucketed into a deterministic (band, lng_idx) grid.
+     Band height is the exact meridian arc of ``radius_m`` on the
+     haversine sphere, so matching points differ by <= 1 band.  Each
+     band gets its own longitude bucket count, derived from the
+     haversine inequality  sin(d/2R) >= cos(lat1)cos(lat2) sin(dLng/2)
+     evaluated at the band's worst-case latitude — so matching points
+     differ by <= 1 longitude index *in either band's width*.
+  2. The left side explodes to its 3x3 (band +-1, idx +-1) candidate
+     buckets (9 keys, deduped; longitude indexes wrap modulo the band's
+     bucket count, so the antimeridian needs no special case; a band
+     whose buckets would exceed 180 degrees collapses to n=1 and the
+     pole caps become single buckets).
+  3. One equi-join on the bucket key — right rows sit in their home
+     bucket only, so every qualifying pair is produced exactly once
+     (array_distinct removes the only duplicate source, wrapped
+     candidate keys in tiny bands).
+  4. An exact haversine filter (pure JVM trig — no UDF anywhere in the
+     operator) keeps pairs with dist_m <= radius_m.
+
+Why not H3 buckets: this engine's k-ring is a face-local lattice
+operation (SURVEY.md §1.4 scope statement) — two points straddling an
+icosahedron seam can land in cells whose *lattice* distance is
+unbounded even though their geodesic distance is tiny, so an
+H3-ring-expansion join cannot promise recall 1 globally.  The band grid
+carries a closed-form guarantee instead.  For bbox-scoped tables that
+already carry an attached cell column, the equivalent co-located join
+is ``spatial.spatial_join`` (equi on cell) — a *containment* join, not
+a radius join.
+
+Scale shape: two scans, one shuffle each onto the bucket key, explosion
+factor <= 9 on the left side only, exact-filter selectivity does the
+rest.  Hot buckets (urban cores) are *group* skew on the join key —
+AQE's skew-join split handles the partition imbalance because the
+bucket key is high-cardinality; for pathological single-bucket skew,
+shrink the bucket size by passing a smaller ``radius_m`` to the
+bucketing via ``grid_radius_m`` (buckets may be sized for any radius
+>= the query radius without affecting correctness).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..hexlib.geom import EARTH_R
+
+_DEG_M = math.pi * EARTH_R / 180.0  # meters per degree of latitude (sphere)
+
+
+def haversine_m_expr(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Great-circle meters between two (lat, lng) degree pairs as a pure
+    JVM expression — same sphere radius as hexlib.geom.haversine_m, so
+    the NumPy and SQL paths agree bit-for-bit up to libm."""
+    la1, lo1 = F.radians(lat1), F.radians(lng1)
+    la2, lo2 = F.radians(lat2), F.radians(lng2)
+    a = F.pow(F.sin((la2 - la1) / 2), 2) + F.cos(la1) * F.cos(la2) * F.pow(
+        F.sin((lo2 - lo1) / 2), 2
+    )
+    a = F.greatest(F.lit(0.0), F.least(F.lit(1.0), a))
+    return F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
+
+
+def _band(lat: Column, dlat_deg: float) -> Column:
+    return F.floor(lat / F.lit(dlat_deg)).cast("long")
+
+
+def _nbuckets(band: Column, dlat_deg: float, radius_m: float) -> Column:
+    """Longitude bucket count for ``band``: wide enough that any pair
+    within ``radius_m`` whose *right* row sits in this band (left row in
+    band +-1) differs by <= 1 bucket index.
+
+    The sizing latitude takes one extra band of margin so it upper-bounds
+    |lat| of BOTH endpoints (the left row may sit one band further from
+    the equator); cos() of it lower-bounds both cosines in the haversine
+    inequality."""
+    # cap at exactly pi/2: cos -> ~0 there, the ratio saturates at 1 and
+    # the band collapses to n<=2 buckets — pole caps stay fully covered
+    # for ANY radius instead of leaking above an arbitrary 89.xx cutoff
+    worst = F.greatest(F.abs(band), F.abs(band + 1)) + F.lit(1)
+    sizing_lat = F.least(F.lit(math.pi / 2.0), worst * F.lit(math.radians(dlat_deg)))
+    s = math.sin(radius_m / (2.0 * EARTH_R))
+    w = 2.0 * F.asin(F.least(F.lit(1.0), F.lit(s) / F.cos(sizing_lat)))
+    return F.greatest(F.lit(1).cast("long"), F.floor(F.lit(2.0 * math.pi) / w).cast("long"))
+
+
+def _idx(lng: Column, n: Column) -> Column:
+    # lng in [-180, 180]; identical widths per band on both sides
+    return F.pmod(F.floor((lng + F.lit(180.0)) / (F.lit(360.0) / n)).cast("long"), n)
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    right_lat_col: str | None = None,
+    right_lng_col: str | None = None,
+    suffix: str = "_r",
+    dist_col: str = "dist_m",
+    grid_radius_m: float | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with haversine distance <= ``radius_m``.
+
+    Returns every left column, every right column (columns that collide
+    with a left name get ``suffix``), plus ``dist_col`` (double meters).
+    Exact — recall 1 and precision 1 by construction (grid candidate
+    bound + haversine verify); no UDFs, the whole plan is JVM
+    expressions inside whole-stage codegen.
+
+    For a self-join pass the same DataFrame twice and filter
+    ``id < id_r`` to keep each unordered pair once.
+
+    ``grid_radius_m`` (>= radius_m) sizes the buckets independently of
+    the match radius — coarser buckets trade candidate count for fewer
+    groups, useful when the radius is far below the data's point
+    spacing."""
+    g = float(grid_radius_m if grid_radius_m is not None else radius_m)
+    if g < radius_m:
+        raise ValueError("grid_radius_m must be >= radius_m")
+    rlat = right_lat_col or lat_col
+    rlng = right_lng_col or lng_col
+    dlat_deg = g / _DEG_M
+
+    # right side: home bucket only
+    rcols = [
+        F.col(c).alias(c + suffix if c in left.columns else c) for c in right.columns
+    ]
+    rlat_out = rlat + suffix if rlat in left.columns else rlat
+    rlng_out = rlng + suffix if rlng in left.columns else rlng
+    rb = _band(F.col(rlat), dlat_deg)
+    r_bucketed = right.select(
+        *rcols,
+        rb.alias("_band"),
+        _idx(F.col(rlng), _nbuckets(rb, dlat_deg, g)).alias("_idx"),
+    )
+
+    # left side: 3 bands x 3 indexes candidate buckets, deduped
+    lb = _band(F.col(lat_col), dlat_deg)
+    cands = []
+    for db in (-1, 0, 1):
+        band = lb + F.lit(db)
+        n = _nbuckets(band, dlat_deg, g)
+        idx = _idx(F.col(lng_col), n)
+        for di in (-1, 0, 1):
+            cands.append(F.struct(band.alias("b"), F.pmod(idx + F.lit(di), n).alias("i")))
+    l_bucketed = left.select(
+        "*", F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
+    ).select("*", F.col("_cand.b").alias("_band"), F.col("_cand.i").alias("_idx"))
+
+    dist = haversine_m_expr(F.col(lat_col), F.col(lng_col), F.col(rlat_out), F.col(rlng_out))
+    return (
+        l_bucketed.join(r_bucketed, ["_band", "_idx"], "inner")
+        .withColumn(dist_col, dist)
+        .where(F.col(dist_col) <= F.lit(float(radius_m)))
+        .drop("_cand", "_band", "_idx")
+    )

@@ -1,0 +1,137 @@
+"""distance_join: exactness vs a quadratic haversine oracle (global
+points incl. pole caps + antimeridian), boundary-straddling adversarial
+pairs, grid_radius_m decoupling, and an all-JVM plan assertion."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hex2vec_spark.hexlib.geom import haversine_m
+from hex2vec_spark.operators.geo_join import distance_join, haversine_m_expr
+
+
+def _points(seed=3, n=800):
+    rng = np.random.default_rng(seed)
+    lat = np.concatenate(
+        [
+            rng.uniform(50, 50.2, n // 4),              # dense cluster
+            rng.uniform(-85, 85, n // 4),               # global scatter
+            rng.uniform(89.5, 90, n // 4) * rng.choice([-1, 1], n // 4),  # pole caps
+            rng.uniform(-60, 60, n // 4),
+        ]
+    )
+    lng = np.concatenate(
+        [
+            rng.uniform(19, 19.3, n // 4),
+            rng.uniform(-180, 180, n // 4),
+            rng.uniform(-180, 180, n // 4),
+            rng.uniform(179.5, 180, n // 4) * rng.choice([-1, 1], n // 4),  # antimeridian
+        ]
+    )
+    return pd.DataFrame({"pid": np.arange(len(lat)), "lat": lat, "lng": lng})
+
+
+def _oracle_pairs(pdf, radius):
+    lat, lng = pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+    d = haversine_m(lat[:, None], lng[:, None], lat[None, :], lng[None, :])
+    iu = np.triu_indices(len(pdf), 1)
+    m = d[iu] <= radius
+    return set(zip(iu[0][m].tolist(), iu[1][m].tolist()))
+
+
+class TestDistanceJoin:
+    @pytest.mark.parametrize("radius", [500.0, 5000.0, 50000.0])
+    def test_exact_vs_quadratic_oracle(self, spark, radius):
+        pdf = _points()
+        df = spark.createDataFrame(pdf)
+        right = df.select(
+            F.col("pid").alias("pid2"), F.col("lat").alias("lat2"), F.col("lng").alias("lng2")
+        )
+        out = (
+            distance_join(df, right, radius, right_lat_col="lat2", right_lng_col="lng2")
+            .where(F.col("pid") < F.col("pid2"))
+            .select("pid", "pid2", "dist_m")
+            .toPandas()
+        )
+        got = set(zip(out["pid"], out["pid2"]))
+        want = _oracle_pairs(pdf, radius)
+        assert got == want                       # recall 1 AND precision 1
+        assert len(out) == len(got)              # each pair exactly once
+        # distances agree with the NumPy haversine
+        lat, lng = pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+        p1, p2 = out["pid"].to_numpy(), out["pid2"].to_numpy()
+        ref = haversine_m(lat[p1], lng[p1], lat[p2], lng[p2])
+        np.testing.assert_allclose(out["dist_m"].to_numpy(), ref, rtol=1e-9)
+
+    def test_boundary_straddlers(self, spark):
+        # pairs engineered at 0.90-1.00x radius on random bearings: the
+        # regime where a too-small candidate neighborhood loses recall
+        rng = np.random.default_rng(11)
+        radius, n = 2000.0, 600
+        lat1 = rng.uniform(-80, 80, n)
+        lng1 = rng.uniform(-180, 180, n)
+        d = rng.uniform(0.90, 1.0, n) * radius
+        br = rng.uniform(0, 2 * np.pi, n)
+        lat2 = lat1 + (d * np.cos(br)) / 111194.93
+        lng2 = (lng1 + (d * np.sin(br)) / (111194.93 * np.cos(np.radians(lat1))) + 180) % 360 - 180
+        real = haversine_m(lat1, lng1, lat2, lng2)
+        keep = real <= radius
+        a = pd.DataFrame({"aid": np.arange(keep.sum()), "lat": lat1[keep], "lng": lng1[keep]})
+        b = pd.DataFrame({"bid": np.arange(keep.sum()), "lat": lat2[keep], "lng": lng2[keep]})
+        out = (
+            distance_join(spark.createDataFrame(a), spark.createDataFrame(b), radius)
+            .where(F.col("aid") == F.col("bid"))
+            .count()
+        )
+        assert out == int(keep.sum())            # every planted pair found
+
+    def test_grid_radius_decoupling(self, spark):
+        # coarser buckets than the match radius: same exact answer
+        pdf = _points(seed=9, n=400)
+        df = spark.createDataFrame(pdf)
+        right = df.select(
+            F.col("pid").alias("pid2"), F.col("lat").alias("lat2"), F.col("lng").alias("lng2")
+        )
+        kw = dict(right_lat_col="lat2", right_lng_col="lng2")
+        fine = (
+            distance_join(df, right, 3000.0, **kw)
+            .where(F.col("pid") < F.col("pid2")).select("pid", "pid2").toPandas()
+        )
+        coarse = (
+            distance_join(df, right, 3000.0, grid_radius_m=25000.0, **kw)
+            .where(F.col("pid") < F.col("pid2")).select("pid", "pid2").toPandas()
+        )
+        assert set(map(tuple, fine.values)) == set(map(tuple, coarse.values))
+        with pytest.raises(ValueError):
+            distance_join(df, right, 3000.0, grid_radius_m=10.0, **kw)
+
+    def test_plan_all_jvm_one_join(self, spark):
+        df = spark.createDataFrame(_points(seed=5, n=40))
+        right = df.select(
+            F.col("pid").alias("pid2"), F.col("lat").alias("lat2"), F.col("lng").alias("lng2")
+        )
+        out = distance_join(df, right, 1000.0, right_lat_col="lat2", right_lng_col="lng2")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Join") >= 1           # one equi-join, no cartesian
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_haversine_expr_matches_numpy(self, spark):
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame(
+            {
+                "la1": rng.uniform(-89, 89, 300), "lo1": rng.uniform(-180, 180, 300),
+                "la2": rng.uniform(-89, 89, 300), "lo2": rng.uniform(-180, 180, 300),
+            }
+        )
+        got = (
+            spark.createDataFrame(pdf)
+            .select(
+                haversine_m_expr(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("d")
+            )
+            .toPandas()["d"]
+            .to_numpy()
+        )
+        want = haversine_m(pdf["la1"], pdf["lo1"], pdf["la2"], pdf["lo2"])
+        np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-12)
