@@ -1038,6 +1038,30 @@ def _q_hex_features(spark, sf_dir):
     return hex_features(joined)
 
 
+def _q_rasterize_regions(spark, sf_dir):
+    # vector -> raster (operators/raster.rasterize_hex): per-region
+    # image counts per hex rendered to georeferenced grayscale PNGs via
+    # the from-scratch codec; emitted as checksummed metadata rows
+    # (binary payload is not SQL-expressible -> rows-only gate entry;
+    # the exact pixel oracle lives in tests/test_raster.py).
+    from hex2vec_spark.operators.raster import rasterize_hex
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    joined = spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES)
+    counts = joined.groupBy("region_id", "h3").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    imgs = rasterize_hex(
+        counts, "n", group_cols=["region_id"], width=128, height=128, vmin=0.0, vmax=64.0
+    )
+    return imgs.select(
+        "region_id", "fmt", "w", "h", "vmin", "vmax",
+        F.md5(F.col("bytes")).alias("png_md5"),
+        F.round("lat0", 6).alias("lat0"), F.round("lat1", 6).alias("lat1"),
+        F.round("lng0", 6).alias("lng0"), F.round("lng1", 6).alias("lng1"),
+    )
+
+
 def _q_assignments(spark, sf_dir):
     # the interim (image_id, h3, region_id) spatial-join output rows
     from hex2vec_spark.operators.spatial import spatial_join
@@ -2042,6 +2066,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
         "distance_pairs": _q_distance_pairs,
+        "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
         "table_maintenance": _q_table_maintenance,

@@ -34,6 +34,7 @@ def __getattr__(name):
         "query_ivf_index": "operators.knn",
         "salted_equi_join": "operators.joins",
         "distance_join": "operators.geo_join",
+        "rasterize_hex": "operators.raster",
         "haversine_m_expr": "operators.geo_join",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
