@@ -1038,6 +1038,38 @@ def _q_hex_features(spark, sf_dir):
     return hex_features(joined)
 
 
+def _q_knn_join(spark, sf_dir):
+    # bounded spatial kNN join (operators/geo_join.knn_join): each
+    # point's 5 nearest neighbors within 2 km — distance_join's grid
+    # equi-join + one window; oracle is the quadratic pair table with
+    # the identical (dist, id) ordering under DuckDB QUALIFY.
+    from hex2vec_spark.operators.geo_join import knn_join
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(500)
+        .select(
+            "vec_id",
+            (F.lit(50.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.3).alias("lat"),
+            (F.lit(19.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.45).alias("lng"),
+        )
+    )
+    right = pts.select(
+        F.col("vec_id").alias("r_id"), F.col("lat").alias("rlat"), F.col("lng").alias("rlng")
+    )
+    out = knn_join(
+        pts, right, 5, 2000.0,
+        left_id_cols=["vec_id"], tiebreak_cols=["r_id"],
+        right_lat_col="rlat", right_lng_col="rlng",
+        pair_filter=F.col("vec_id") != F.col("r_id"),
+    )
+    return out.select(
+        F.col("vec_id").alias("l_id"), "r_id", "knn_rank",
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
 def _q_rasterize_regions(spark, sf_dir):
     # vector -> raster (operators/raster.rasterize_hex): per-region
     # image counts per hex rendered to georeferenced grayscale PNGs via
@@ -2066,6 +2098,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
         "distance_pairs": _q_distance_pairs,
+        "knn_join_pairs": _q_knn_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
@@ -2750,6 +2783,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_id, r_id, ROUND(dist, 3) AS dist_m
             FROM pairs WHERE dist <= 800.0
+        """,
+        "knn_join_pairs": """
+            WITH pts AS (
+                SELECT vec_id,
+                       50.0 + CAST(embedding[1] AS DOUBLE) * 0.3 AS lat,
+                       19.0 + CAST(embedding[2] AS DOUBLE) * 0.45 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 500
+            ), pairs AS (
+                SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+                       2 * 6371008.8 * ASIN(SQRT(LEAST(1.0,
+                           POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
+                         + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                           * POW(SIN((RADIANS(b.lng) - RADIANS(a.lng)) / 2), 2)
+                       ))) AS dist
+                FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT l_id, r_id, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_id ORDER BY dist ASC, r_id ASC
+                       ) AS knn_rank
+                FROM pairs WHERE dist <= 2000.0
+            )
+            SELECT l_id, r_id, knn_rank, ROUND(dist, 3) AS dist_m
+            FROM ranked WHERE knn_rank <= 5
         """,
         "merge_delete": """
             SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment

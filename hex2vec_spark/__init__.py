@@ -36,6 +36,7 @@ def __getattr__(name):
         "distance_join": "operators.geo_join",
         "rasterize_hex": "operators.raster",
         "haversine_m_expr": "operators.geo_join",
+        "knn_join": "operators.geo_join",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
         "skipgram_fit_sharded": "operators.embed",

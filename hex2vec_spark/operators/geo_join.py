@@ -164,3 +164,56 @@ def distance_join(
         .where(F.col(dist_col) <= F.lit(float(radius_m)))
         .drop("_cand", "_band", "_idx")
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_radius_m: float,
+    left_id_cols: list[str],
+    tiebreak_cols: list[str],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    right_lat_col: str | None = None,
+    right_lng_col: str | None = None,
+    suffix: str = "_r",
+    dist_col: str = "dist_m",
+    rank_col: str = "knn_rank",
+    pair_filter: Column | None = None,
+) -> DataFrame:
+    """Bounded spatial kNN join: for every left row, its ``k`` nearest
+    right rows among those within ``max_radius_m`` meters.
+
+    The radius bound is what makes the join scale — an *unbounded* kNN
+    join degenerates to all-pairs for isolated points.  Left rows with
+    fewer than ``k`` neighbors in range keep the ones they have; rows
+    with none are absent (inner-join semantics).  Re-run with a larger
+    radius for stragglers if unbounded semantics are required.
+
+    ``tiebreak_cols`` (right-side id columns, post-``suffix`` names)
+    make the ranking total and deterministic when two neighbors are
+    equidistant.  ``pair_filter`` drops candidate pairs BEFORE ranking
+    (e.g. ``col('id') != col('id_r')`` to exclude self-matches in a
+    self-join).  Plan: distance_join's single equi-join, then one
+    window over the left id — two shuffles total.
+    """
+    from pyspark.sql import Window
+
+    pairs = distance_join(
+        left,
+        right,
+        max_radius_m,
+        lat_col=lat_col,
+        lng_col=lng_col,
+        right_lat_col=right_lat_col,
+        right_lng_col=right_lng_col,
+        suffix=suffix,
+        dist_col=dist_col,
+    )
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    w = Window.partitionBy(*left_id_cols).orderBy(
+        F.col(dist_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return pairs.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hex2vec_spark.hexlib.geom import haversine_m
-from hex2vec_spark.operators.geo_join import distance_join, haversine_m_expr
+from hex2vec_spark.operators.geo_join import distance_join, haversine_m_expr, knn_join
 
 
 def _points(seed=3, n=800):
@@ -116,6 +116,30 @@ class TestDistanceJoin:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("Join") >= 1           # one equi-join, no cartesian
         assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_knn_join_vs_quadratic_oracle(self, spark):
+        pdf = _points(seed=21, n=400)
+        df = spark.createDataFrame(pdf)
+        right = df.select(
+            F.col("pid").alias("pid2"), F.col("lat").alias("lat2"), F.col("lng").alias("lng2")
+        )
+        k, radius = 3, 20000.0
+        out = knn_join(
+            df, right, k, radius,
+            left_id_cols=["pid"], tiebreak_cols=["pid2"],
+            right_lat_col="lat2", right_lng_col="lng2",
+            pair_filter=F.col("pid") != F.col("pid2"),
+        ).select("pid", "pid2", "knn_rank").toPandas()
+        got = set(map(tuple, out.values))
+        # quadratic oracle with the same (dist, id) ordering
+        lat, lng = pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+        d = haversine_m(lat[:, None], lng[:, None], lat[None, :], lng[None, :])
+        want = set()
+        for i in range(len(pdf)):
+            cand = [(d[i, j], j) for j in range(len(pdf)) if j != i and d[i, j] <= radius]
+            for r, (_, j) in enumerate(sorted(cand)[:k], start=1):
+                want.add((i, j, r))
+        assert got == want
 
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
