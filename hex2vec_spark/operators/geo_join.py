@@ -144,22 +144,35 @@ def distance_join(
         _idx(F.col(rlng), _nbuckets(rb, dlat_deg, g)).alias("_idx"),
     )
 
-    # left side: 3 bands x 3 indexes candidate buckets, deduped
-    lb = _band(F.col(lat_col), dlat_deg)
-    cands = []
-    for db in (-1, 0, 1):
-        band = lb + F.lit(db)
+    # left side: 3 bands x 3 indexes candidate buckets, deduped.
+    # The per-band bucket count (trig) and index are STAGED as real
+    # columns through chained selects before the explode — inlining them
+    # into the generator repeats the asin/cos tree ~18x per row and
+    # measured 25x slower (17.6s vs 0.7s on 5M rows, BENCH/GEOJOIN.md);
+    # CollapseProject keeps the staging because collapsing would
+    # duplicate non-cheap expressions.
+    pre = left.select("*", _band(F.col(lat_col), dlat_deg).alias("_b0"))
+    for j, db in enumerate((-1, 0, 1)):
+        band = F.col("_b0") + F.lit(db)
         n = _nbuckets(band, dlat_deg, g)
-        idx = _idx(F.col(lng_col), n)
-        for di in (-1, 0, 1):
-            cands.append(F.struct(band.alias("b"), F.pmod(idx + F.lit(di), n).alias("i")))
-    l_bucketed = left.select(
-        "*", F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
+        pre = pre.select("*", n.alias(f"_n{j}"), _idx(F.col(lng_col), n).alias(f"_i{j}"))
+    cands = [
+        F.struct(
+            (F.col("_b0") + F.lit(db)).alias("b"),
+            F.pmod(F.col(f"_i{j}") + F.lit(di), F.col(f"_n{j}")).alias("i"),
+        )
+        for j, db in enumerate((-1, 0, 1))
+        for di in (-1, 0, 1)
+    ]
+    l_bucketed = pre.select(
+        *left.columns, F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
     ).select("*", F.col("_cand.b").alias("_band"), F.col("_cand.i").alias("_idx"))
 
     dist = haversine_m_expr(F.col(lat_col), F.col(lng_col), F.col(rlat_out), F.col(rlng_out))
+    # build the hash relation on the un-exploded right side: sorting the
+    # 9x-exploded left for a merge join is pure overhead at any scale
     return (
-        l_bucketed.join(r_bucketed, ["_band", "_idx"], "inner")
+        l_bucketed.join(r_bucketed.hint("shuffle_hash"), ["_band", "_idx"], "inner")
         .withColumn(dist_col, dist)
         .where(F.col(dist_col) <= F.lit(float(radius_m)))
         .drop("_cand", "_band", "_idx")
