@@ -1070,6 +1070,29 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_pip_join(spark, sf_dir):
+    # big x big point-in-polygon join (operators/geo_join.pip_join):
+    # polygons explode to their bbox grid buckets, points hash to home
+    # buckets, one equi-join + Arrow ray-cast verify. Rows-only (PIP is
+    # not tractably SQL-expressible); the exact quadratic oracle lives
+    # in tests/test_geo_join.py::test_pip_join_vs_quadratic_oracle.
+    from hex2vec_spark.operators.geo_join import pip_join
+    from hex2vec_spark.sources.synth import polygon_objects_table
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(500)
+        .select(
+            "vec_id",
+            (F.lit(41.0) + F.element_at(F.col("embedding"), 1).cast("double") * 2.5).alias("lat"),
+            (F.lit(15.5) + F.element_at(F.col("embedding"), 2).cast("double") * 3.75).alias("lng"),
+        )
+    )
+    polys = polygon_objects_table(spark, 2000)
+    return pip_join(pts, polys, cell_deg=0.05).select("vec_id", "obj_id")
+
+
 def _q_rasterize_regions(spark, sf_dir):
     # vector -> raster (operators/raster.rasterize_hex): per-region
     # image counts per hex rendered to georeferenced grayscale PNGs via
@@ -2099,6 +2122,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _q_histogram_bins,
         "distance_pairs": _q_distance_pairs,
         "knn_join_pairs": _q_knn_join,
+        "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,

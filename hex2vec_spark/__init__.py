@@ -37,6 +37,7 @@ def __getattr__(name):
         "rasterize_hex": "operators.raster",
         "haversine_m_expr": "operators.geo_join",
         "knn_join": "operators.geo_join",
+        "pip_join": "operators.geo_join",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
         "skipgram_fit_sharded": "operators.embed",

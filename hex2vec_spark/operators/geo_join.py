@@ -49,8 +49,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..hexlib import geom
 from ..hexlib.geom import EARTH_R
 
 _DEG_M = math.pi * EARTH_R / 180.0  # meters per degree of latitude (sphere)
@@ -176,6 +179,136 @@ def distance_join(
         .withColumn(dist_col, dist)
         .where(F.col(dist_col) <= F.lit(float(radius_m)))
         .drop("_cand", "_band", "_idx")
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_deg: float = 0.05,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    poly_id_col: str = "obj_id",
+    ring_lat_col: str = "ring_lat",
+    ring_lng_col: str = "ring_lng",
+    verify_target: int = 1_000_000,
+) -> DataFrame:
+    """Big x big point-in-polygon join: (point, polygon) pairs where the
+    point lies inside the polygon ring — for polygon sides too large to
+    broadcast (the scale path past ``spatial.spatial_join``'s broadcast
+    tiling and ``strict_region_assign``'s broadcast rings; north_star's
+    PIP assignment at 10^8 polygons).
+
+    Shape (three stages, all candidate-bounded):
+
+      1. CANDIDATES — polygons explode to every ``cell_deg``-degree grid
+         bucket their bbox touches (JVM ``sequence`` over band/idx
+         ranges, NO ring payload — just id + bbox scalars); points hash
+         to their single home bucket; one equi-join on the bucket key,
+         then a pure-JVM bbox containment prefilter kills the grid slop
+         before anything heavy moves.
+      2. DEDUP — ``distinct`` collapses the same (point, polygon id)
+         candidate reached via several rings/buckets.
+      3. VERIFY — an *adaptively salted cogroup*: candidates group by
+         (poly id, salt), rings group by (poly id, salt), and an
+         applyInPandas kernel ray-casts each ring ONCE against all its
+         candidate points (vectorized ``geom.points_in_polygon``).
+         Rings cross Arrow once per (polygon, salt) — NOT once per
+         candidate pair, which ships ring arrays per pair and measured
+         strictly slower at 2M x 20k.  The salt count is computed PER
+         POLYGON from its candidate count (``ceil(cnt /
+         verify_target)``, capped at 64): ordinary polygons get salt 1
+         (a uniform salt of 8 cost 4.5x in per-group overhead — 6.0 s
+         vs 27 s at 2M x 20k), while a viral city-sized ring with 10^7
+         candidates splits across tasks instead of straggling.
+
+    ``cell_deg`` trades polygon-side explosion against candidate
+    fan-in: size it near the typical polygon diameter.  Polygons
+    crossing the antimeridian are not supported (their bbox would span
+    the globe); split them at 180 first.  MultiPolygons (several rows
+    sharing an id): a point inside ANY ring matches, one output row per
+    (point, polygon id).
+
+    Returns every point column plus ``poly_id_col``.
+    """
+    s = float(cell_deg)
+    b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
+    b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
+    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
+    i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
+    buckets = polygons.select(
+        F.col(poly_id_col).alias("_pid"),
+        F.array_min(F.col(ring_lat_col)).alias("_la0"),
+        F.array_max(F.col(ring_lat_col)).alias("_la1"),
+        F.array_min(F.col(ring_lng_col)).alias("_lg0"),
+        F.array_max(F.col(ring_lng_col)).alias("_lg1"),
+        F.explode(F.sequence(b0, b1)).alias("_band"),
+        F.sequence(i0, i1).alias("_idxs"),
+    ).select("_pid", "_la0", "_la1", "_lg0", "_lg1", "_band", F.explode("_idxs").alias("_idx"))
+
+    pts = points.select(
+        "*",
+        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
+        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
+    )
+    cand = (
+        pts.join(buckets, ["_band", "_idx"], "inner")
+        .where(
+            F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
+            & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
+        )
+        .select(*points.columns, "_pid")
+        .distinct()
+    )
+    salt_map = cand.groupBy("_pid").agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(F.lit(64).cast("long"), F.ceil(F.count(F.lit(1)) / F.lit(verify_target))),
+        ).alias("_ns")
+    )
+    cand = cand.join(salt_map, "_pid").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(lat_col), F.col(lng_col)), F.col("_ns"))
+    ).drop("_ns")
+    rings = (
+        polygons.select(
+            F.col(poly_id_col).alias("_pid"),
+            F.col(ring_lat_col).alias("_rla"),
+            F.col(ring_lng_col).alias("_rlg"),
+        )
+        .join(salt_map, "_pid")
+        .select(
+            "_pid", "_rla", "_rlg",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_ns") - 1)).alias("_salt"),
+        )
+    )
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields
+    )
+    pid_type = polygons.schema[poly_id_col].dataType.simpleString()
+    out_schema = f"{out_fields}, `{poly_id_col}` {pid_type}"
+    pcols = list(points.columns)
+
+    def verify(left, right):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=pcols + [poly_id_col])
+        la = left[lat_col].to_numpy(dtype=np.float64)
+        lg = left[lng_col].to_numpy(dtype=np.float64)
+        inside = np.zeros(len(left), dtype=bool)
+        for _, ring in right.iterrows():
+            inside |= geom.points_in_polygon(
+                la, lg,
+                np.asarray(ring["_rla"], dtype=np.float64),
+                np.asarray(ring["_rlg"], dtype=np.float64),
+            )
+        hit = left.loc[inside, pcols].copy()
+        hit[poly_id_col] = left.loc[inside, "_pid"].to_numpy()
+        return hit
+
+    return (
+        cand.groupBy("_pid", "_salt")
+        .cogroup(rings.groupBy("_pid", "_salt"))
+        .applyInPandas(verify, schema=out_schema)
     )
 
 

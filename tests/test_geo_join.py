@@ -7,8 +7,14 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from hex2vec_spark.hexlib import geom
 from hex2vec_spark.hexlib.geom import haversine_m
-from hex2vec_spark.operators.geo_join import distance_join, haversine_m_expr, knn_join
+from hex2vec_spark.operators.geo_join import (
+    distance_join,
+    haversine_m_expr,
+    knn_join,
+    pip_join,
+)
 
 
 def _points(seed=3, n=800):
@@ -140,6 +146,76 @@ class TestDistanceJoin:
             for r, (_, j) in enumerate(sorted(cand)[:k], start=1):
                 want.add((i, j, r))
         assert got == want
+
+    def test_pip_join_vs_quadratic_oracle(self, spark):
+        # random convex-ish polygons + points; oracle = quadratic
+        # points_in_polygon (same ray-cast kernel, so EXACT equality
+        # including on-boundary convention)
+        rng = np.random.default_rng(17)
+        n_poly, n_pts = 40, 800
+        polys = []
+        for p in range(n_poly):
+            cy = rng.uniform(45.1, 45.9)
+            cx = rng.uniform(10.1, 10.9)
+            k = rng.integers(3, 9)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            r = rng.uniform(0.01, 0.08, k)
+            polys.append(
+                {
+                    "obj_id": f"p{p:03d}",
+                    "ring_lat": (cy + r * np.sin(ang)).tolist(),
+                    "ring_lng": (cx + r * np.cos(ang)).tolist(),
+                }
+            )
+        pts = pd.DataFrame(
+            {
+                "pid": np.arange(n_pts),
+                "lat": rng.uniform(45.0, 46.0, n_pts),
+                "lng": rng.uniform(10.0, 11.0, n_pts),
+            }
+        )
+        out = pip_join(
+            spark.createDataFrame(pts), spark.createDataFrame(pd.DataFrame(polys)),
+            cell_deg=0.05,
+        ).select("pid", "obj_id").toPandas()
+        got = set(map(tuple, out.values))
+        want = set()
+        for poly in polys:
+            inside = geom.points_in_polygon(
+                pts["lat"].to_numpy(), pts["lng"].to_numpy(),
+                np.asarray(poly["ring_lat"]), np.asarray(poly["ring_lng"]),
+            )
+            for pid in pts["pid"].to_numpy()[inside]:
+                want.add((pid, poly["obj_id"]))
+        assert got == want
+        assert len(out) == len(got)  # each containment exactly once
+
+    def test_pip_join_cell_size_invariance(self, spark):
+        rng = np.random.default_rng(8)
+        polys = pd.DataFrame(
+            {
+                "obj_id": ["a", "b"],
+                "ring_lat": [[45.1, 45.4, 45.4, 45.1], [45.3, 45.6, 45.6, 45.3]],
+                "ring_lng": [[10.1, 10.1, 10.5, 10.5], [10.4, 10.4, 10.8, 10.8]],
+            }
+        )
+        pts = pd.DataFrame(
+            {
+                "pid": np.arange(300),
+                "lat": rng.uniform(45.0, 45.7, 300),
+                "lng": rng.uniform(10.0, 10.9, 300),
+            }
+        )
+        res = []
+        for s in (0.02, 0.1, 0.5):
+            out = pip_join(
+                spark.createDataFrame(pts), spark.createDataFrame(polys), cell_deg=s
+            ).select("pid", "obj_id").toPandas()
+            res.append(set(map(tuple, out.values)))
+        assert res[0] == res[1] == res[2]
+        # overlap region: points inside both polygons appear twice
+        both = {p for p, _ in res[0] if (p, "a") in res[0] and (p, "b") in res[0]}
+        assert both  # the fixture overlaps by construction
 
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
