@@ -1070,6 +1070,40 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_path_length(spark, sf_dir):
+    # per-user trajectory length: synthetic geotags per event (pure
+    # integer-modulo derivation so both engines compute identical
+    # doubles), ordered haversine legs via lag window, summed per user
+    # (operators/geo_join.haversine_m_expr as the leg metric)
+    from pyspark.sql import Window
+
+    from hex2vec_spark.operators.geo_join import haversine_m_expr
+
+    ev = _load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        (F.lit(50.0) + (F.col("event_id") % 997) / 997.0 * 0.5).alias("lat"),
+        (F.lit(19.0) + (F.col("event_id") % 1009) / 1009.0 * 0.8).alias("lng"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # explicit NULL guard on the first row per user: least/greatest
+    # IGNORE nulls in both engines, so an unguarded NULL lag would
+    # silently evaluate to asin(1) — half the earth's circumference
+    legs = pts.select(
+        "user_id",
+        F.when(
+            F.lag("lat", 1).over(w).isNotNull(),
+            haversine_m_expr(
+                F.lag("lat", 1).over(w), F.lag("lng", 1).over(w), F.col("lat"), F.col("lng")
+            ),
+        ).alias("leg"),
+    )
+    return legs.groupBy("user_id").agg(
+        F.round(F.sum("leg") / 1000.0, 3).alias("path_km"),
+        F.count("leg").alias("n_legs"),
+    )
+
+
 def _q_pip_join(spark, sf_dir):
     # big x big point-in-polygon join (operators/geo_join.pip_join):
     # polygons explode to their bbox grid buckets, points hash to home
@@ -2122,6 +2156,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _q_histogram_bins,
         "distance_pairs": _q_distance_pairs,
         "knn_join_pairs": _q_knn_join,
+        "path_length": _q_path_length,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
@@ -2807,6 +2842,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_id, r_id, ROUND(dist, 3) AS dist_m
             FROM pairs WHERE dist <= 800.0
+        """,
+        "path_length": """
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       50.0 + (event_id % 997) / 997.0 * 0.5 AS lat,
+                       19.0 + (event_id % 1009) / 1009.0 * 0.8 AS lng
+                FROM events
+            ), lagged AS (
+                SELECT user_id, lat, lng,
+                       LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+                       LAG(lng) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plng
+                FROM pts
+            ), legs AS (
+                SELECT user_id,
+                       CASE WHEN plat IS NOT NULL THEN
+                           2 * 6371008.8 * ASIN(SQRT(GREATEST(0.0, LEAST(1.0,
+                               POW(SIN((RADIANS(lat) - RADIANS(plat)) / 2), 2)
+                             + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                               * POW(SIN((RADIANS(lng) - RADIANS(plng)) / 2), 2)
+                           ))))
+                       END AS leg
+                FROM lagged
+            )
+            SELECT user_id, ROUND(SUM(leg) / 1000.0, 3) AS path_km,
+                   COUNT(leg) AS n_legs
+            FROM legs GROUP BY user_id
         """,
         "knn_join_pairs": """
             WITH pts AS (

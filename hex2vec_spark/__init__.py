@@ -29,6 +29,7 @@ def __getattr__(name):
         "sample_negatives": "operators.neighbors",
         "neighborhood_smooth": "operators.neighbors",
         "run_upsert_available_now": "streaming.ingest",
+        "streaming_geofence": "streaming.ingest",
         "cosine_topk": "operators.knn",
         "build_ivf_index": "operators.knn",
         "query_ivf_index": "operators.knn",

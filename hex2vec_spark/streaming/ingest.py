@@ -12,6 +12,8 @@ sources/iceberg_lite.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.h3_fns import DEFAULT_RES, h3_from_phash_res
@@ -70,6 +72,92 @@ def windowed_event_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("ws"), "event_type", "n")
     )
+
+
+def streaming_geofence(
+    points_stream: DataFrame,
+    polygons_sdf: DataFrame,
+    cell_deg: float = 0.05,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    poly_id_col: str = "obj_id",
+    ring_lat_col: str = "ring_lat",
+    ring_lng_col: str = "ring_lng",
+) -> DataFrame:
+    """Streaming geofence: (point, fence) rows for every streamed point
+    inside a fence polygon — the streaming face of
+    ``operators/geo_join.pip_join``.
+
+    The fence set is a STATIC side (geofences change rarely; restart the
+    query to pick up a new set), so this is a stateless stream-static
+    equi-join on the same ``cell_deg`` grid-bucket key pip_join uses:
+    static fences pre-explode to their bbox buckets, streamed points
+    compute their single home bucket as pure projections
+    (streaming-safe), and the JVM bbox prefilter + an Arrow pairwise
+    ray-cast verify run per micro-batch.  No state, no watermark — every
+    micro-batch row is independently checked, so throughput scales with
+    executor count like any stateless map.
+
+    The verify here ships rings per candidate row (the batched
+    per-distinct-ring kernel): the right tradeoff for micro-batch-sized
+    candidate sets, vs pip_join's cogroup for backfill-sized ones.
+    """
+    s = float(cell_deg)
+    b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
+    b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
+    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
+    i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
+    fences = polygons_sdf.select(
+        F.col(poly_id_col),
+        F.col(ring_lat_col).alias("_rla"),
+        F.col(ring_lng_col).alias("_rlg"),
+        F.array_min(F.col(ring_lat_col)).alias("_la0"),
+        F.array_max(F.col(ring_lat_col)).alias("_la1"),
+        F.array_min(F.col(ring_lng_col)).alias("_lg0"),
+        F.array_max(F.col(ring_lng_col)).alias("_lg1"),
+        F.explode(F.sequence(b0, b1)).alias("_band"),
+        F.sequence(i0, i1).alias("_idxs"),
+    ).select(
+        poly_id_col, "_rla", "_rlg", "_la0", "_la1", "_lg0", "_lg1",
+        "_band", F.explode("_idxs").alias("_idx"),
+    )
+
+    pts = points_stream.select(
+        "*",
+        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
+        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
+    )
+
+    from ..hexlib import geom
+
+    @F.pandas_udf("boolean")
+    def _pip_pair(lat: pd.Series, lng: pd.Series, rla: pd.Series, rlg: pd.Series) -> pd.Series:
+        la, lg = lat.to_numpy(), lng.to_numpy()
+        out = np.zeros(len(la), dtype=bool)
+        key = pd.Series(
+            [np.asarray(a).tobytes() + np.asarray(b).tobytes() for a, b in zip(rla, rlg)]
+        )
+        for _, idx in key.groupby(key).groups.items():
+            ii = np.asarray(idx)
+            out[ii] = geom.points_in_polygon(
+                la[ii], lg[ii],
+                np.asarray(rla.iloc[ii[0]], dtype=np.float64),
+                np.asarray(rlg.iloc[ii[0]], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    cand = pts.join(F.broadcast(fences), ["_band", "_idx"], "inner").where(
+        F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
+        & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
+    )
+    # NO dropDuplicates here: on a stream it would allocate unbounded
+    # dedup state. Each point meets each fence RING at most once (single
+    # home bucket); only multi-ring fences can emit one row per
+    # containing ring — acceptable geofence semantics, dedupe downstream
+    # per micro-batch if needed.
+    return cand.where(
+        _pip_pair(F.col(lat_col), F.col(lng_col), F.col("_rla"), F.col("_rlg"))
+    ).drop("_band", "_idx", "_rla", "_rlg", "_la0", "_la1", "_lg0", "_lg1")
 
 
 def stateful_streaming_dedup(

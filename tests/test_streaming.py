@@ -78,6 +78,64 @@ def test_available_now_resume_matches_batch(spark, tmp_path):
     assert n1 is not None and n1 > 0
 
 
+def test_streaming_geofence_matches_batch_pip(spark, tmp_path):
+    # streamed points through the stateless geofence == batch pip_join
+    # over the same table, across two drops with a checkpoint resume
+    from hex2vec_spark.operators.geo_join import pip_join
+    from hex2vec_spark.streaming.ingest import streaming_geofence
+
+    rng = np.random.default_rng(31)
+    n = 600
+    pts_pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lat": rng.uniform(45.0, 46.0, n),
+            "lng": rng.uniform(10.0, 11.0, n),
+        }
+    )
+    fences_pdf = pd.DataFrame(
+        [
+            {
+                "obj_id": f"f{p:02d}",
+                "ring_lat": (45.5 + 0.3 * np.sin(np.linspace(0, 2 * np.pi, 7)[:-1] + p)
+                             + 0.02 * p * np.cos(np.linspace(0, 2 * np.pi, 7)[:-1])).tolist(),
+                "ring_lng": (10.5 + 0.3 * np.cos(np.linspace(0, 2 * np.pi, 7)[:-1] + p)).tolist(),
+            }
+            for p in range(8)
+        ]
+    )
+    fences = spark.createDataFrame(fences_pdf)
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "hits")
+    ck = str(tmp_path / "ck")
+
+    for chunk in (pts_pdf.iloc[:350], pts_pdf.iloc[350:]):
+        _write_chunk(spark, chunk, inp, "c")
+        stream = (
+            spark.readStream.schema("pid bigint, lat double, lng double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        hits = streaming_geofence(stream, fences, cell_deg=0.1)
+        q = (
+            hits.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("pid", "obj_id").toPandas()
+    want = (
+        pip_join(spark.createDataFrame(pts_pdf), fences, cell_deg=0.1)
+        .select("pid", "obj_id")
+        .toPandas()
+    )
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
+    assert len(want) > 0
+
+
 class TestStreamingUpsert:
     SCHEMA = "image_id long, caption string, v long"
 
