@@ -138,7 +138,7 @@ def main() -> int:
             "q1_pricing_summary", "explode_trim", "group_pivot", "salted_agg",
             "topk", "per_group_topk", "self_join", "knn_bruteforce",
             "dedup_exact", "hex_features", "context_pairs", "tile_hex_bins",
-            "polygon_assign",
+            "polygon_assign", "distance_pairs", "knn_join_pairs", "path_length",
         ]
         # two passes per query: report the min as the headline number
         # (comparable across rounds) and keep both so the spread is
