@@ -1070,6 +1070,37 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_grid_paths(spark, sf_dir):
+    # h3_line analog (hexlib.h3core.grid_path via functions.h3_fns.
+    # h3_path): greedy geodesic cell walk between nearby synthetic
+    # geotag pairs — every consecutive pair adjacent, endpoints
+    # inclusive, shortest on the face interior (kernel properties
+    # pinned in tests/test_hexlib.py::TestGridPath). Rows-only.
+    from hex2vec_spark.functions.h3_fns import h3_encode_udf, h3_path
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(200)
+        .select(
+            "vec_id",
+            (F.lit(41.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.05).alias("lat1"),
+            (F.lit(15.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.05).alias("lng1"),
+            (F.lit(41.0) + F.element_at(F.col("embedding"), 3).cast("double") * 0.05).alias("lat2"),
+            (F.lit(15.0) + F.element_at(F.col("embedding"), 4).cast("double") * 0.05).alias("lng2"),
+        )
+    )
+    enc = h3_encode_udf(8)
+    cells = pts.select(
+        "vec_id",
+        enc(F.col("lat1"), F.col("lng1")).alias("a"),
+        enc(F.col("lat2"), F.col("lng2")).alias("b"),
+    )
+    return cells.select(
+        "vec_id", "a", "b", F.size(h3_path(F.col("a"), F.col("b"))).alias("n_cells")
+    )
+
+
 def _q_path_length(spark, sf_dir):
     # per-user trajectory length: synthetic geotags per event (pure
     # integer-modulo derivation so both engines compute identical
@@ -2157,6 +2188,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs": _q_distance_pairs,
         "knn_join_pairs": _q_knn_join,
         "path_length": _q_path_length,
+        "grid_paths": _q_grid_paths,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,

@@ -39,6 +39,7 @@ def __getattr__(name):
         "haversine_m_expr": "operators.geo_join",
         "knn_join": "operators.geo_join",
         "pip_join": "operators.geo_join",
+        "h3_path": "functions.h3_fns",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
         "skipgram_fit_sharded": "operators.embed",

@@ -148,6 +148,16 @@ def h3_to_str(h: pd.Series) -> pd.Series:
     return pd.Series(h3core.h3_to_string(h.to_numpy().view(np.uint64)))
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def h3_path(a: pd.Series, b: pd.Series) -> pd.Series:
+    """(start_cell, end_cell) -> array<long> path of cells (h3.h3_line
+    analog; hexlib.h3core.grid_path — greedy geodesic walk, every
+    consecutive pair adjacent, endpoints inclusive). Whole Arrow batch
+    walks in lockstep."""
+    paths = h3core.grid_path(a.to_numpy().view(np.uint64), b.to_numpy().view(np.uint64))
+    return pd.Series([p.view(np.int64).tolist() for p in paths])
+
+
 @F.pandas_udf(
     StructType([StructField("lat", DoubleType()), StructField("lng", DoubleType())])
 )

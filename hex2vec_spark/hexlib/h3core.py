@@ -834,3 +834,62 @@ def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray
         clat, clng, np.asarray(ring_lat, dtype=np.float64), np.asarray(ring_lng, dtype=np.float64)
     )
     return cells[inside]
+
+
+def grid_path(a: np.ndarray, b: np.ndarray, max_steps: int | None = None) -> list[np.ndarray]:
+    """Cell path from each a[i] to b[i] (h3.h3_line analog): a greedy
+    geodesic walk — at every step move to the neighbor whose center is
+    closest to the target's center, with a direct jump whenever the
+    target is already adjacent.  Returns one uint64 array per pair,
+    inclusive of both endpoints.
+
+    On the regular interior of a face the greedy walk IS a shortest
+    lattice path (every step reduces grid distance by 1); near seams it
+    stays *valid* (every consecutive pair adjacent) but may detour, and
+    a pair whose walk fails to converge within ``max_steps`` raises
+    (the face-local scope statement, SURVEY.md §1.4, applies to paths
+    exactly as it does to k-rings).  All pairs advance in lockstep —
+    one vectorized :func:`neighbors` + :func:`cell_center` call per
+    step, no per-pair Python loops over cells.
+    """
+    from . import geom
+
+    a = np.atleast_1d(np.asarray(a, dtype=np.uint64))
+    b = np.atleast_1d(np.asarray(b, dtype=np.uint64))
+    if a.shape != b.shape:
+        raise ValueError("a and b must have the same shape")
+    if len(a) == 0:
+        return []
+    res = int(get_resolution(a[:1])[0])
+    tlat, tlng = cell_center(b)
+    clat, clng = cell_center(a)
+    if max_steps is None:
+        d0 = geom.haversine_m(clat, clng, tlat, tlng)
+        max_steps = int(4.0 * (float(d0.max()) / edge_length_m(res) + 8.0))
+
+    cur = a.copy()
+    paths: list[list[int]] = [[int(c)] for c in a]
+    active = cur != b
+    for _ in range(max_steps):
+        idx = np.nonzero(active)[0]
+        if idx.size == 0:
+            break
+        nb = neighbors(cur[idx])  # (m, 6)
+        hit = nb == b[idx][:, None]
+        nlat, nlng = cell_center(nb.ravel())
+        d = geom.haversine_m(
+            nlat.reshape(-1, 6), nlng.reshape(-1, 6), tlat[idx][:, None], tlng[idx][:, None]
+        )
+        nxt = nb[np.arange(idx.size), d.argmin(axis=1)]
+        jump = hit.any(axis=1)
+        nxt[jump] = b[idx][jump]
+        cur[idx] = nxt
+        for i, c in zip(idx, nxt):
+            paths[i].append(int(c))
+        active[idx] = nxt != b[idx]
+    if active.any():
+        raise ValueError(
+            f"grid_path: {int(active.sum())} pair(s) did not converge within "
+            f"{max_steps} steps (seam-spanning pair, or a/b resolutions differ)"
+        )
+    return [np.array(p, dtype=np.uint64) for p in paths]

@@ -171,6 +171,51 @@ class TestH3Core:
         assert abs(e[5] / e[6] - np.sqrt(7)) < 0.01
 
 
+class TestGridPath:
+    RES = 8
+
+    def _grid_dist(self, a, b, kmax=12):
+        for k in range(kmax + 1):
+            ring = h3.kring(np.array([a], dtype=np.uint64), k)[0]
+            if b in ring:
+                return k
+        raise AssertionError("pair farther than kmax")
+
+    def test_endpoints_adjacency_shortest(self):
+        rng = np.random.default_rng(23)
+        n = 40
+        lat1 = rng.uniform(40.5, 41.5, n)
+        lng1 = rng.uniform(14.5, 16.5, n)
+        lat2 = lat1 + rng.uniform(-0.03, 0.03, n)
+        lng2 = lng1 + rng.uniform(-0.03, 0.03, n)
+        a = h3.encode(lat1, lng1, self.RES)
+        b = h3.encode(lat2, lng2, self.RES)
+        paths = h3.grid_path(a, b)
+        for i, p in enumerate(paths):
+            assert p[0] == a[i] and p[-1] == b[i]
+            for x, y in zip(p[:-1], p[1:]):
+                assert y in h3.neighbors(np.array([x], dtype=np.uint64))[0]
+            # greedy == shortest on the face interior
+            assert len(p) - 1 == self._grid_dist(a[i], b[i])
+
+    def test_degenerate_and_deterministic(self):
+        a = h3.encode(np.array([41.0]), np.array([15.0]), self.RES)
+        (p,) = h3.grid_path(a, a.copy())
+        assert list(p) == [a[0]]
+        b = h3.encode(np.array([41.1]), np.array([15.2]), self.RES)
+        p1 = h3.grid_path(a, b)[0]
+        p2 = h3.grid_path(a, b)[0]
+        assert list(p1) == list(p2)
+
+    def test_nonconverged_raises(self):
+        import pytest as _pytest
+
+        a = h3.encode(np.array([41.0]), np.array([15.0]), self.RES)
+        b = h3.encode(np.array([41.5]), np.array([16.0]), self.RES)
+        with _pytest.raises(ValueError):
+            h3.grid_path(a, b, max_steps=2)
+
+
 class TestGeom:
     def test_pip_square(self):
         ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
