@@ -192,6 +192,7 @@ def pip_join(
     ring_lat_col: str = "ring_lat",
     ring_lng_col: str = "ring_lng",
     verify_target: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Big x big point-in-polygon join: (point, polygon) pairs where the
     point lies inside the polygon ring — for polygon sides too large to
@@ -260,6 +261,11 @@ def pip_join(
         .select(*points.columns, "_pid")
         .distinct()
     )
+    # the adaptive salt map aggregates over the SAME candidate table the
+    # verify consumes — localCheckpoint so the bucket join runs once,
+    # not once per consumer (the repo-wide self-reuse pattern)
+    if materialize:
+        cand = cand.localCheckpoint(eager=False)
     salt_map = cand.groupBy("_pid").agg(
         F.greatest(
             F.lit(1).cast("long"),

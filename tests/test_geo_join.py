@@ -217,6 +217,32 @@ class TestDistanceJoin:
         both = {p for p, _ in res[0] if (p, "a") in res[0] and (p, "b") in res[0]}
         assert both  # the fixture overlaps by construction
 
+    def test_pip_join_plan_no_ring_payload_in_bucket_join(self, spark):
+        # design claim pinned: ring arrays must NOT travel through the
+        # candidate bucket join (they cross Arrow only in the cogroup
+        # verify, once per (polygon, salt))
+        polys = pd.DataFrame(
+            {
+                "obj_id": ["a"],
+                "ring_lat": [[45.1, 45.4, 45.4, 45.1]],
+                "ring_lng": [[10.1, 10.1, 10.5, 10.5]],
+            }
+        )
+        pts = pd.DataFrame({"pid": [1, 2], "lat": [45.2, 45.9], "lng": [10.2, 10.9]})
+        out = pip_join(
+            spark.createDataFrame(pts), spark.createDataFrame(polys), materialize=False
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("FlatMapCoGroupsInPandas") == 1
+        # the candidate subtree (everything between the cogroup's left
+        # child marker ':-' and its right child '+- Proj') must not
+        # reference the ring columns — rings cross only into the verify
+        # top-level children sit at zero indentation: ':- ' opens the
+        # left (candidates), '\n+- ' opens the right (rings)
+        left_subtree = plan[plan.index(":- ") : plan.index("\n+- ")]
+        assert "Join" in left_subtree                 # the bucket joins live here
+        assert "_rla" not in left_subtree and "_rlg" not in left_subtree
+
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
         pdf = pd.DataFrame(
