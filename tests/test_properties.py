@@ -265,3 +265,60 @@ class TestHierarchyProperties:
                 assert anc != a, (a, b)
         # 4) full coverage compacts all the way back to the base cell
         assert compact_py(full) == base
+
+
+class TestBandGridProperties:
+    """The distance_join recall guarantee as a pure-math property: for
+    ANY pair within the radius, the right row's home bucket must be in
+    the left row's 3x3 candidate set. NumPy replicas of the exact JVM
+    expressions in operators/geo_join.py (_band/_nbuckets/_idx)."""
+
+    R = 6_371_008.8
+    DEG_M = np.pi * R / 180.0
+
+    def _band(self, lat, dlat):
+        return int(np.floor(lat / dlat))
+
+    def _nbuckets(self, band, dlat, radius):
+        worst = max(abs(band), abs(band + 1)) + 1
+        sizing = min(np.pi / 2.0, worst * np.radians(dlat))
+        s = np.sin(radius / (2.0 * self.R))
+        w = 2.0 * np.arcsin(min(1.0, s / np.cos(sizing)))
+        return max(1, int(np.floor(2.0 * np.pi / w))) if w > 0 else 1
+
+    def _idx(self, lng, n):
+        return int(np.floor((lng + 180.0) / (360.0 / n))) % n
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        lat=st.floats(min_value=-89.99, max_value=89.99, allow_nan=False),
+        lng=st.floats(min_value=-180.0, max_value=180.0, exclude_max=True, allow_nan=False),
+        bearing=st.floats(min_value=0.0, max_value=2 * np.pi, allow_nan=False),
+        frac=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        radius=st.floats(min_value=10.0, max_value=100_000.0, allow_nan=False),
+    )
+    @example(lat=89.99, lng=179.9, bearing=1.0, frac=1.0, radius=50.0)   # pole cap
+    @example(lat=0.0, lng=179.9999, bearing=np.pi / 2, frac=1.0, radius=5000.0)  # antimeridian
+    @example(lat=-89.95, lng=-180.0, bearing=4.0, frac=0.999, radius=99_000.0)
+    def test_pair_within_radius_lands_in_candidate_set(self, lat, lng, bearing, frac, radius):
+        d = frac * radius
+        lat2 = lat + (d * np.cos(bearing)) / self.DEG_M
+        if abs(lat2) > 90.0:
+            return  # offset walked over the pole; not a valid lat/lng pair
+        coslat = np.cos(np.radians(lat))
+        if coslat < 1e-12:
+            lng2 = lng
+        else:
+            lng2 = (lng + (d * np.sin(bearing)) / (self.DEG_M * coslat) + 180.0) % 360.0 - 180.0
+        real = geom.haversine_m(
+            np.array([lat]), np.array([lng]), np.array([lat2]), np.array([lng2])
+        )[0]
+        if real > radius:
+            return  # planar offset overshot the haversine ball
+        dlat = radius / self.DEG_M
+        b_l, b_r = self._band(lat, dlat), self._band(lat2, dlat)
+        assert abs(b_l - b_r) <= 1  # meridian arc bound
+        n = self._nbuckets(b_r, dlat, radius)
+        home = self._idx(lng2, n)
+        cands = {(self._idx(lng, n) + di) % n for di in (-1, 0, 1)}
+        assert home in cands, (lat, lng, lat2, lng2, radius, n)
