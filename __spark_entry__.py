@@ -1070,6 +1070,24 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_hex_density(spark, sf_dir):
+    # per-hex image density (images/km^2): counts over the spatial join,
+    # normalized by the cell's TRUE spherical area (hexlib.h3core.
+    # cell_area_m2, L'Huilier excess — not the global-average edge
+    # formula, which is ~9% off in this region). Rows-only (the area
+    # kernel is not SQL-expressible); area invariants pinned in
+    # tests/test_hexlib.py::TestCellArea.
+    from hex2vec_spark.functions.h3_fns import h3_area_m2
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    joined = spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES)
+    counts = joined.groupBy("region_id", "h3").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "region_id", "h3", "n",
+        F.round(F.col("n") / (h3_area_m2(F.col("h3")) / 1e6), 4).alias("images_per_km2"),
+    )
+
+
 def _q_grid_paths(spark, sf_dir):
     # h3_line analog (hexlib.h3core.grid_path via functions.h3_fns.
     # h3_path): greedy geodesic cell walk between nearby synthetic
@@ -2189,6 +2207,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_pairs": _q_knn_join,
         "path_length": _q_path_length,
         "grid_paths": _q_grid_paths,
+        "hex_density": _q_hex_density,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,

@@ -40,6 +40,7 @@ def __getattr__(name):
         "knn_join": "operators.geo_join",
         "pip_join": "operators.geo_join",
         "h3_path": "functions.h3_fns",
+        "h3_area_m2": "functions.h3_fns",
         "asof_join": "operators.asof",
         "skipgram_fit": "operators.embed",
         "skipgram_fit_sharded": "operators.embed",

@@ -148,6 +148,13 @@ def h3_to_str(h: pd.Series) -> pd.Series:
     return pd.Series(h3core.h3_to_string(h.to_numpy().view(np.uint64)))
 
 
+@F.pandas_udf(DoubleType())
+def h3_area_m2(h: pd.Series) -> pd.Series:
+    """cell -> spherical area in m^2 (hexlib.h3core.cell_area_m2,
+    L'Huilier excess over the 6-triangle center fan)."""
+    return pd.Series(h3core.cell_area_m2(h.to_numpy().view(np.uint64)))
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def h3_path(a: pd.Series, b: pd.Series) -> pd.Series:
     """(start_cell, end_cell) -> array<long> path of cells (h3.h3_line

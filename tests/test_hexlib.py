@@ -216,6 +216,49 @@ class TestGridPath:
             h3.grid_path(a, b, max_steps=2)
 
 
+class TestCellArea:
+    def test_aperture7_area_ratio(self):
+        rng = np.random.default_rng(3)
+        lat, lng = rng.uniform(40.5, 41.5, 400), rng.uniform(14.5, 16.5, 400)
+        m8 = h3.cell_area_m2(np.unique(h3.encode(lat, lng, 8))).mean()
+        m9 = h3.cell_area_m2(np.unique(h3.encode(lat, lng, 9))).mean()
+        assert abs(m8 / m9 - 7.0) < 0.05  # aperture 7: children are 1/7 area
+
+    def test_polyfill_area_matches_spherical_polygon(self):
+        # convex quad: fan triangulation from the centroid is exact, so
+        # sum(polyfill cell areas) must approximate the polygon's
+        # spherical area (boundary cells half-in/half-out cancel)
+        ring_lat = np.array([41.0, 41.0, 41.3, 41.3])
+        ring_lng = np.array([15.0, 15.4, 15.4, 15.0])
+        cells = h3.polyfill(ring_lat, ring_lng, 8)
+        total = h3.cell_area_m2(cells).sum()
+
+        def unit(lat, lng):
+            la, lo = np.radians(lat), np.radians(lng)
+            cl = np.cos(la)
+            return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
+
+        c = unit(ring_lat.mean(), ring_lng.mean())
+        v = unit(ring_lat, ring_lng)
+        w = np.roll(v, -1, axis=0)
+
+        def arc(a, b):
+            return 2.0 * np.arcsin(np.clip(np.linalg.norm(a - b, axis=-1) / 2.0, 0, 1))
+
+        a, b, cc = arc(v, w), arc(c[None], v), arc(c[None], w)
+        s = (a + b + cc) / 2
+        t = np.tan(s / 2) * np.tan((s - a) / 2) * np.tan((s - b) / 2) * np.tan((s - cc) / 2)
+        poly_area = (4 * np.arctan(np.sqrt(np.clip(t, 0, None)))).sum() * geom.EARTH_R**2
+        assert abs(total / poly_area - 1.0) < 0.02
+
+    def test_area_positive_and_resolution_monotone(self):
+        h7 = h3.encode(np.array([41.0]), np.array([15.0]), 7)
+        h10 = h3.encode(np.array([41.0]), np.array([15.0]), 10)
+        a7, a10 = h3.cell_area_m2(h7)[0], h3.cell_area_m2(h10)[0]
+        assert a7 > a10 > 0
+        assert abs(a7 / a10 - 7.0**3) / 7.0**3 < 0.05
+
+
 class TestGeom:
     def test_pip_square(self):
         ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
