@@ -1070,6 +1070,26 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_bearing(spark, sf_dir):
+    # forward azimuth from a fixed origin to every synthetic geotag
+    # (operators/geo_join.bearing_deg_expr — atan2 form, [0,360));
+    # oracle is the term-identical formula in DuckDB
+    from hex2vec_spark.operators.geo_join import bearing_deg_expr, haversine_m_expr
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        (F.lit(50.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.3).alias("lat"),
+        (F.lit(19.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.45).alias("lng"),
+    )
+    o_lat, o_lng = F.lit(50.0), F.lit(19.0)
+    return pts.select(
+        "vec_id",
+        F.round(bearing_deg_expr(o_lat, o_lng, F.col("lat"), F.col("lng")), 4).alias("bearing_deg"),
+        F.round(haversine_m_expr(o_lat, o_lng, F.col("lat"), F.col("lng")), 3).alias("dist_m"),
+    )
+
+
 def _q_hex_density(spark, sf_dir):
     # per-hex image density (images/km^2): counts over the spatial join,
     # normalized by the cell's TRUE spherical area (hexlib.h3core.
@@ -2208,6 +2228,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length": _q_path_length,
         "grid_paths": _q_grid_paths,
         "hex_density": _q_hex_density,
+        "bearing_pairs": _q_bearing,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
@@ -2893,6 +2914,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_id, r_id, ROUND(dist, 3) AS dist_m
             FROM pairs WHERE dist <= 800.0
+        """,
+        "bearing_pairs": """
+            WITH pts AS (
+                SELECT vec_id,
+                       50.0 + CAST(embedding[1] AS DOUBLE) * 0.3 AS lat,
+                       19.0 + CAST(embedding[2] AS DOUBLE) * 0.45 AS lng
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   ROUND(
+                       ((DEGREES(ATAN2(
+                           SIN(RADIANS(lng) - RADIANS(19.0)) * COS(RADIANS(lat)),
+                           COS(RADIANS(50.0)) * SIN(RADIANS(lat))
+                         - SIN(RADIANS(50.0)) * COS(RADIANS(lat))
+                           * COS(RADIANS(lng) - RADIANS(19.0))
+                       )) % 360.0) + 360.0) % 360.0, 4) AS bearing_deg,
+                   ROUND(2 * 6371008.8 * ASIN(SQRT(GREATEST(0.0, LEAST(1.0,
+                       POW(SIN((RADIANS(lat) - RADIANS(50.0)) / 2), 2)
+                     + COS(RADIANS(50.0)) * COS(RADIANS(lat))
+                       * POW(SIN((RADIANS(lng) - RADIANS(19.0)) / 2), 2)
+                   )))), 3) AS dist_m
+            FROM pts
         """,
         "path_length": """
             WITH pts AS (

@@ -38,6 +38,7 @@ def __getattr__(name):
         "rasterize_hex": "operators.raster",
         "haversine_m_expr": "operators.geo_join",
         "knn_join": "operators.geo_join",
+        "bearing_deg_expr": "operators.geo_join",
         "pip_join": "operators.geo_join",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",

@@ -72,6 +72,17 @@ def haversine_m_expr(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> 
     return F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
 
 
+def bearing_deg_expr(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360) — pure JVM trig (atan2 form), same convention as the
+    standard forward-azimuth formula."""
+    la1, la2 = F.radians(lat1), F.radians(lat2)
+    dlo = F.radians(lng2) - F.radians(lng1)
+    y = F.sin(dlo) * F.cos(la2)
+    x = F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dlo)
+    return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
+
+
 def _band(lat: Column, dlat_deg: float) -> Column:
     return F.floor(lat / F.lit(dlat_deg)).cast("long")
 
@@ -130,6 +141,10 @@ def distance_join(
     g = float(grid_radius_m if grid_radius_m is not None else radius_m)
     if g < radius_m:
         raise ValueError("grid_radius_m must be >= radius_m")
+    reserved = {"_band", "_idx", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"distance_join reserves column names {sorted(clash)}")
     rlat = right_lat_col or lat_col
     rlng = right_lng_col or lng_col
     dlat_deg = g / _DEG_M
@@ -233,6 +248,11 @@ def pip_join(
     Returns every point column plus ``poly_id_col``.
     """
     s = float(cell_deg)
+    reserved = {"_band", "_idx", "_pid", "_salt", "_ns", "_rla", "_rlg",
+                "_la0", "_la1", "_lg0", "_lg1"}
+    clash = reserved & (set(points.columns) | set(polygons.columns))
+    if clash:
+        raise ValueError(f"pip_join reserves column names {sorted(clash)}")
     b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
     b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
     i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
