@@ -5,12 +5,24 @@ runs the flagship tile+join+agg on 2k synthetic images, prints a row count.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark import SparkConf
 
 
 def main() -> int:
-    spark = SparkSession.builder.appName("submit-smoke").getOrCreate()
-    # imports resolve from --py-files zip on the executors AND driver
+    # imports resolve from --py-files zip on the executors AND driver.
+    # The job applies the ENGINE's session profile (plans/session.py) —
+    # a bare SparkSession.builder leaves dynamic partition pruning on,
+    # and DPP's alias-substitution planning walk is exponential through
+    # the JVM H3 encode chain (documented in plans/session.py: observed
+    # driver heap OOM even on a 2k-row smoke). spark-submit's --master
+    # and --conf still win: master is read back from the submit conf,
+    # and any --conf is already in the JVM properties that getOrCreate
+    # merges.
+    from hex2vec_spark.plans.session import get_spark
+
+    spark = get_spark(
+        "submit-smoke", master=SparkConf().get("spark.master", "local[4]")
+    )
     from hex2vec_spark.operators.agg import hex_features
     from hex2vec_spark.operators.spatial import build_tiling, spatial_join
     from hex2vec_spark.sources.synth import images_table, regions_pandas
