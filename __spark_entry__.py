@@ -1070,6 +1070,27 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_region_hulls(spark, sf_dir):
+    # per-region convex hull of image geotags (operators/geo_join.
+    # convex_hull, Andrew monotone chain per group): the spatial extent
+    # summary. Rows-only; exact brute-force hull oracle in
+    # tests/test_geo_join.py.
+    from hex2vec_spark.functions.h3_fns import geotag
+    from hex2vec_spark.operators.geo_join import convex_hull
+    from hex2vec_spark.operators.spatial import spatial_join
+
+    joined = spatial_join(_images(spark), _tiling_sdf(spark), res=ENTRY_RES)
+    pts = joined.select(
+        "region_id", geotag(F.col("phash")).alias("g")
+    ).select("region_id", F.col("g.lat").alias("lat"), F.col("g.lng").alias("lng"))
+    hulls = convex_hull(pts, ["region_id"])
+    return hulls.select(
+        "region_id", "n_hull", "n_points",
+        F.round(F.aggregate("hull_lat", F.lit(0.0), lambda a, x: a + x) / F.col("n_hull"), 6).alias("hull_lat_mean"),
+        F.round(F.aggregate("hull_lng", F.lit(0.0), lambda a, x: a + x) / F.col("n_hull"), 6).alias("hull_lng_mean"),
+    )
+
+
 def _q_bearing(spark, sf_dir):
     # forward azimuth from a fixed origin to every synthetic geotag
     # (operators/geo_join.bearing_deg_expr — atan2 form, [0,360));
@@ -2229,6 +2250,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_paths": _q_grid_paths,
         "hex_density": _q_hex_density,
         "bearing_pairs": _q_bearing,
+        "region_hulls": _q_region_hulls,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,

@@ -39,6 +39,7 @@ def __getattr__(name):
         "haversine_m_expr": "operators.geo_join",
         "knn_join": "operators.geo_join",
         "bearing_deg_expr": "operators.geo_join",
+        "convex_hull": "operators.geo_join",
         "pip_join": "operators.geo_join",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",

@@ -338,6 +338,64 @@ def pip_join(
     )
 
 
+def convex_hull(
+    points: DataFrame,
+    group_cols: list[str],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-group planar convex hull (Andrew's monotone chain) — the
+    spatial extent of each group's points, e.g. a region's footprint
+    from its image geotags.
+
+    Shape: ONE shuffle on the group key, then an applyInPandas kernel
+    whose working set is the group's points (for footprint-sized groups
+    with millions of points, pre-aggregate to distinct H3 cells first —
+    the hull of cell centers is the hull up to one cell radius).
+    Planar in (lng, lat): correct for region-scale extents away from
+    the poles/antimeridian, the engine's operating regime.
+
+    Returns one row per group: ``hull_lat``/``hull_lng`` (CCW arrays,
+    starting from the lexicographically smallest vertex), ``n_hull``
+    and ``n_points``.  Degenerate groups (1 point, collinear sets)
+    return the 1- or 2-vertex hull.
+    """
+    keys = list(group_cols)
+    prefix = ", ".join(f"`{c}` {points.schema[c].dataType.simpleString()}" for c in keys)
+    out_schema = (
+        f"{prefix}, hull_lat array<double>, hull_lng array<double>, "
+        "n_hull int, n_points bigint"
+    )
+
+    def hull(key, pdf):
+        pts = np.unique(
+            np.stack([pdf[lng_col].to_numpy(), pdf[lat_col].to_numpy()], axis=1), axis=0
+        )  # sorted lexicographically by (lng, lat), duplicates dropped
+        n = len(pts)
+        if n <= 2:
+            h = pts
+        else:
+            def half(seq):
+                out = []
+                for p in seq:
+                    while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                        out.pop()
+                    out.append(p)
+                return out
+
+            lower = half(pts)
+            upper = half(pts[::-1])
+            h = np.array(lower[:-1] + upper[:-1])
+        row = {k: key[i] for i, k in enumerate(keys)}
+        row.update(
+            hull_lat=h[:, 1].tolist(), hull_lng=h[:, 0].tolist(),
+            n_hull=len(h), n_points=len(pdf),
+        )
+        return pd.DataFrame([row])
+
+    return points.groupBy(*keys).applyInPandas(hull, schema=out_schema)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -243,6 +243,63 @@ class TestDistanceJoin:
         assert "Join" in left_subtree                 # the bucket joins live here
         assert "_rla" not in left_subtree and "_rlg" not in left_subtree
 
+    def test_convex_hull_vs_bruteforce(self, spark):
+        from hex2vec_spark.operators.geo_join import convex_hull
+
+        rng = np.random.default_rng(29)
+        frames = []
+        for g in ("a", "b"):
+            n = 60
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": g,
+                        "lat": rng.uniform(45, 46, n),
+                        "lng": rng.uniform(10, 11, n),
+                    }
+                )
+            )
+        # degenerate groups: single point, collinear triple
+        frames.append(pd.DataFrame({"g": "single", "lat": [45.5], "lng": [10.5]}))
+        frames.append(
+            pd.DataFrame({"g": "line", "lat": [45.0, 45.1, 45.2], "lng": [10.0, 10.1, 10.2]})
+        )
+        pdf = pd.concat(frames, ignore_index=True)
+        out = (
+            convex_hull(spark.createDataFrame(pdf), ["g"])
+            .orderBy("g")
+            .toPandas()
+            .set_index("g")
+        )
+
+        def brute_hull_vertices(pts):
+            # (i, j) is a hull edge iff all points lie on one side
+            n = len(pts)
+            verts = set()
+            for i in range(n):
+                for j in range(n):
+                    if i == j:
+                        continue
+                    d = pts - pts[i]
+                    cr = np.cross(pts[j] - pts[i], d)
+                    if (cr >= -1e-12).all() or (cr <= 1e-12).all():
+                        verts.add(i)
+                        verts.add(j)
+            return {tuple(pts[k]) for k in verts}
+
+        for g in ("a", "b"):
+            pts = pdf[pdf["g"] == g][["lng", "lat"]].to_numpy()
+            want = brute_hull_vertices(pts)
+            got = set(zip(out.loc[g, "hull_lng"], out.loc[g, "hull_lat"]))
+            assert got == want
+            # CCW orientation: positive signed area
+            hl = np.array(out.loc[g, "hull_lng"])
+            ha = np.array(out.loc[g, "hull_lat"])
+            area2 = np.sum(hl * np.roll(ha, -1) - np.roll(hl, -1) * ha)
+            assert area2 > 0
+        assert out.loc["single", "n_hull"] == 1
+        assert out.loc["line", "n_hull"] == 2
+
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
         pdf = pd.DataFrame(
