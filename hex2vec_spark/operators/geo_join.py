@@ -375,10 +375,13 @@ def convex_hull(
         if n <= 2:
             h = pts
         else:
+            def cross2(o, a, b):  # z of (a-o) x (b-o); np.cross(2d) is deprecated
+                return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
             def half(seq):
                 out = []
                 for p in seq:
-                    while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                    while len(out) >= 2 and cross2(out[-2], out[-1], p) <= 0:
                         out.pop()
                     out.append(p)
                 return out
