@@ -141,6 +141,15 @@ def distance_join(
     g = float(grid_radius_m if grid_radius_m is not None else radius_m)
     if g < radius_m:
         raise ValueError("grid_radius_m must be >= radius_m")
+    # float-robustness pad (found by the hypothesis sweep): a pair at
+    # EXACTLY the radius whose latitude sits within an ulp of a band
+    # boundary can round across TWO bands (delta/dlat == 1 - 1e-300
+    # rounds to 1.0, floor jumps). Padding the grid radius by 1e-9
+    # relative keeps the band ratio <= 1/(1+1e-9) — a margin ~1e7 ulps
+    # wide — so |band_l - band_r| <= 1 holds as computed, not just as
+    # real numbers. Bucket sizing is conservative by construction, so
+    # the pad costs nothing.
+    g *= 1.0 + 1e-9
     reserved = {"_band", "_idx", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:

@@ -315,10 +315,13 @@ class TestBandGridProperties:
         )[0]
         if real > radius:
             return  # planar offset overshot the haversine ball
-        dlat = radius / self.DEG_M
+        # the operator's float-robustness pad (geo_join.py): without it,
+        # hypothesis finds lat=-2e-308, frac=1.0 — a pair at exactly the
+        # radius straddling TWO bands through floor rounding
+        dlat = radius * (1.0 + 1e-9) / self.DEG_M
         b_l, b_r = self._band(lat, dlat), self._band(lat2, dlat)
         assert abs(b_l - b_r) <= 1  # meridian arc bound
-        n = self._nbuckets(b_r, dlat, radius)
+        n = self._nbuckets(b_r, dlat, radius * (1.0 + 1e-9))
         home = self._idx(lng2, n)
         cands = {(self._idx(lng, n) + di) % n for di in (-1, 0, 1)}
         assert home in cands, (lat, lng, lat2, lng2, radius, n)
