@@ -1070,6 +1070,29 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_destination(spark, sf_dir):
+    # inverse geodesy: destination point from (origin, bearing,
+    # distance) (operators/geo_join.destination_expr) — term-identical
+    # DuckDB oracle
+    from hex2vec_spark.operators.geo_join import destination_expr
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        ((F.element_at(F.col("embedding"), 1).cast("double") + 1.0) * 180.0).alias("brg"),
+        (F.abs(F.element_at(F.col("embedding"), 2).cast("double")) * 50000.0).alias("d"),
+    )
+    dest = rows.select(
+        "vec_id",
+        destination_expr(F.lit(50.0), F.lit(19.0), F.col("brg"), F.col("d")).alias("p"),
+    )
+    return dest.select(
+        "vec_id",
+        F.round(F.col("p.lat"), 6).alias("dest_lat"),
+        F.round(F.col("p.lng"), 6).alias("dest_lng"),
+    )
+
+
 def _q_region_hulls(spark, sf_dir):
     # per-region convex hull of image geotags (operators/geo_join.
     # convex_hull, Andrew monotone chain per group): the spatial extent
@@ -1088,6 +1111,7 @@ def _q_region_hulls(spark, sf_dir):
         "region_id", "n_hull", "n_points",
         F.round(F.aggregate("hull_lat", F.lit(0.0), lambda a, x: a + x) / F.col("n_hull"), 6).alias("hull_lat_mean"),
         F.round(F.aggregate("hull_lng", F.lit(0.0), lambda a, x: a + x) / F.col("n_hull"), 6).alias("hull_lng_mean"),
+        F.round(F.col("hull_area_m2") / 1e6, 4).alias("hull_area_km2"),
     )
 
 
@@ -2250,6 +2274,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_paths": _q_grid_paths,
         "hex_density": _q_hex_density,
         "bearing_pairs": _q_bearing,
+        "destination_points": _q_destination,
         "region_hulls": _q_region_hulls,
         "pip_join_assign": _q_pip_join,
         "rasterize_regions": _q_rasterize_regions,
@@ -2936,6 +2961,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_id, r_id, ROUND(dist, 3) AS dist_m
             FROM pairs WHERE dist <= 800.0
+        """,
+        "destination_points": """
+            WITH rows_in AS (
+                SELECT vec_id,
+                       RADIANS((CAST(embedding[1] AS DOUBLE) + 1.0) * 180.0) AS th,
+                       ABS(CAST(embedding[2] AS DOUBLE)) * 50000.0 / 6371008.8 AS dl
+                FROM embeddings
+            ), solved AS (
+                SELECT vec_id, th, dl,
+                       ASIN(SIN(RADIANS(50.0)) * COS(dl)
+                          + COS(RADIANS(50.0)) * SIN(dl) * COS(th)) AS la2
+                FROM rows_in
+            )
+            SELECT vec_id,
+                   ROUND(DEGREES(la2), 6) AS dest_lat,
+                   ROUND(((DEGREES(RADIANS(19.0) + ATAN2(
+                       SIN(th) * SIN(dl) * COS(RADIANS(50.0)),
+                       COS(dl) - SIN(RADIANS(50.0)) * SIN(la2)
+                   )) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) AS dest_lng
+            FROM solved
         """,
         "bearing_pairs": """
             WITH pts AS (

@@ -40,6 +40,8 @@ def __getattr__(name):
         "knn_join": "operators.geo_join",
         "bearing_deg_expr": "operators.geo_join",
         "convex_hull": "operators.geo_join",
+        "destination_expr": "operators.geo_join",
+        "spherical_polygon_area_m2": "hexlib.geom",
         "pip_join": "operators.geo_join",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",

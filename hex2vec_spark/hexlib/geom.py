@@ -214,3 +214,31 @@ def polygon_area_deg2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
     """Shoelace area in squared degrees (sign gives winding)."""
     x, y = np.asarray(ring_lng), np.asarray(ring_lat)
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def spherical_polygon_area_m2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
+    """Spherical area of a simple polygon (m^2): fan triangulation from
+    the vertex centroid, each triangle's excess via L'Huilier — exact
+    for convex rings, good for near-convex region extents (same kernel
+    as h3core.cell_area_m2)."""
+    ring_lat = np.asarray(ring_lat, dtype=np.float64)
+    ring_lng = np.asarray(ring_lng, dtype=np.float64)
+    if len(ring_lat) < 3:
+        return 0.0
+
+    def unit(lat, lng):
+        la, lo = np.radians(lat), np.radians(lng)
+        cl = np.cos(la)
+        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
+
+    c = unit(ring_lat.mean(), ring_lng.mean())
+    v = unit(ring_lat, ring_lng)
+    w = np.roll(v, -1, axis=0)
+
+    def arc(a, b):
+        return 2.0 * np.arcsin(np.clip(np.linalg.norm(a - b, axis=-1) / 2.0, 0.0, 1.0))
+
+    a, b, cc = arc(v, w), arc(c[None], v), arc(c[None], w)
+    s = (a + b + cc) / 2.0
+    t = np.tan(s / 2) * np.tan((s - a) / 2) * np.tan((s - b) / 2) * np.tan((s - cc) / 2)
+    return float((4.0 * np.arctan(np.sqrt(np.clip(t, 0.0, None)))).sum() * EARTH_R**2)

@@ -83,6 +83,24 @@ def bearing_deg_expr(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> 
     return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
 
 
+def destination_expr(
+    lat: Column, lng: Column, bearing_deg: Column, dist_m: Column
+) -> Column:
+    """Destination point: travel ``dist_m`` meters from (lat, lng) along
+    the initial bearing — the inverse of :func:`bearing_deg_expr` /
+    :func:`haversine_m_expr`.  Returns ``struct(lat, lng)`` with lng
+    normalized to [-180, 180); pure JVM trig."""
+    la1 = F.radians(lat)
+    th = F.radians(bearing_deg)
+    dl = dist_m / F.lit(EARTH_R)
+    la2 = F.asin(F.sin(la1) * F.cos(dl) + F.cos(la1) * F.sin(dl) * F.cos(th))
+    lo2 = F.radians(lng) + F.atan2(
+        F.sin(th) * F.sin(dl) * F.cos(la1), F.cos(dl) - F.sin(la1) * F.sin(la2)
+    )
+    lng_out = F.pmod(F.degrees(lo2) + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    return F.struct(F.degrees(la2).alias("lat"), lng_out.alias("lng"))
+
+
 def _band(lat: Column, dlat_deg: float) -> Column:
     return F.floor(lat / F.lit(dlat_deg)).cast("long")
 
@@ -365,15 +383,16 @@ def convex_hull(
     the poles/antimeridian, the engine's operating regime.
 
     Returns one row per group: ``hull_lat``/``hull_lng`` (CCW arrays,
-    starting from the lexicographically smallest vertex), ``n_hull``
-    and ``n_points``.  Degenerate groups (1 point, collinear sets)
-    return the 1- or 2-vertex hull.
+    starting from the lexicographically smallest vertex), ``n_hull``,
+    ``n_points`` and ``hull_area_m2`` (spherical area — exact for the
+    convex hull via the centroid fan).  Degenerate groups (1 point,
+    collinear sets) return the 1- or 2-vertex hull with area 0.
     """
     keys = list(group_cols)
     prefix = ", ".join(f"`{c}` {points.schema[c].dataType.simpleString()}" for c in keys)
     out_schema = (
         f"{prefix}, hull_lat array<double>, hull_lng array<double>, "
-        "n_hull int, n_points bigint"
+        "n_hull int, n_points bigint, hull_area_m2 double"
     )
 
     def hull(key, pdf):
@@ -402,6 +421,7 @@ def convex_hull(
         row.update(
             hull_lat=h[:, 1].tolist(), hull_lng=h[:, 0].tolist(),
             n_hull=len(h), n_points=len(pdf),
+            hull_area_m2=geom.spherical_polygon_area_m2(h[:, 1], h[:, 0]),
         )
         return pd.DataFrame([row])
 

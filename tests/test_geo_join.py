@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hex2vec_spark.hexlib import geom
 from hex2vec_spark.hexlib.geom import haversine_m
 from hex2vec_spark.operators.geo_join import (
+    bearing_deg_expr,
     distance_join,
     haversine_m_expr,
     knn_join,
@@ -299,6 +300,43 @@ class TestDistanceJoin:
             assert area2 > 0
         assert out.loc["single", "n_hull"] == 1
         assert out.loc["line", "n_hull"] == 2
+
+    def test_destination_roundtrip(self, spark):
+        # destination then measure back: haversine == distance and
+        # initial bearing == bearing (the three geodesy exprs are
+        # mutually inverse)
+        from hex2vec_spark.operators.geo_join import destination_expr
+
+        rng = np.random.default_rng(41)
+        pdf = pd.DataFrame(
+            {
+                "lat": rng.uniform(-75, 75, 400),
+                "lng": rng.uniform(-180, 180, 400),
+                "brg": rng.uniform(0, 360, 400),
+                "d": rng.uniform(10, 500_000, 400),
+            }
+        )
+        out = (
+            spark.createDataFrame(pdf)
+            .select(
+                "*",
+                destination_expr(F.col("lat"), F.col("lng"), F.col("brg"), F.col("d")).alias("p"),
+            )
+            .select(
+                "brg", "d",
+                haversine_m_expr(
+                    F.col("lat"), F.col("lng"), F.col("p.lat"), F.col("p.lng")
+                ).alias("d_back"),
+                F.pmod(
+                    bearing_deg_expr(F.col("lat"), F.col("lng"), F.col("p.lat"), F.col("p.lng"))
+                    - F.col("brg") + F.lit(180.0),
+                    F.lit(360.0),
+                ).alias("brg_diff_shifted"),
+            )
+            .toPandas()
+        )
+        np.testing.assert_allclose(out["d_back"], out["d"], rtol=1e-9)
+        np.testing.assert_allclose(out["brg_diff_shifted"], 180.0, atol=1e-6)
 
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
