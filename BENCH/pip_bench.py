@@ -58,12 +58,15 @@ polys = spark.range(npoly).mapInPandas(
     gen, "obj_id string, ring_lat array<double>, ring_lng array<double>"
 ).localCheckpoint()
 
-out = pip_join(pts, polys, cell_deg=0.05)
-pairs = out.count()
+# rebuild the operator each pass: pip_join internally localCheckpoints
+# its candidate table, so re-counting ONE DataFrame would skip the
+# bucket join / bbox filter / distinct on every timed pass and
+# understate the operator's true cost (review finding)
+pairs = pip_join(pts, polys, cell_deg=0.05).count()   # warmup (JIT)
 best = None
 for _ in range(3):
     t0 = time.time()
-    out.count()
+    pip_join(pts, polys, cell_deg=0.05).count()
     el = time.time() - t0
     best = el if best is None else min(best, el)
 print(json.dumps({{"cpus": cpus, "seconds": best, "pairs": pairs}}))

@@ -2970,8 +2970,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ), solved AS (
                 SELECT vec_id, th, dl,
-                       ASIN(SIN(RADIANS(50.0)) * COS(dl)
-                          + COS(RADIANS(50.0)) * SIN(dl) * COS(th)) AS la2
+                       ASIN(GREATEST(-1.0, LEAST(1.0,
+                           SIN(RADIANS(50.0)) * COS(dl)
+                         + COS(RADIANS(50.0)) * SIN(dl) * COS(th)))) AS la2
                 FROM rows_in
             )
             SELECT vec_id,

@@ -216,29 +216,47 @@ def polygon_area_deg2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
-def spherical_polygon_area_m2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
-    """Spherical area of a simple polygon (m^2): fan triangulation from
-    the vertex centroid, each triangle's excess via L'Huilier — exact
-    for convex rings, good for near-convex region extents (same kernel
-    as h3core.cell_area_m2)."""
-    ring_lat = np.asarray(ring_lat, dtype=np.float64)
-    ring_lng = np.asarray(ring_lng, dtype=np.float64)
-    if len(ring_lat) < 3:
-        return 0.0
+def _unit_xyz(lat, lng):
+    la, lo = np.radians(lat), np.radians(lng)
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
 
-    def unit(lat, lng):
-        la, lo = np.radians(lat), np.radians(lng)
-        cl = np.cos(la)
-        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
 
-    c = unit(ring_lat.mean(), ring_lng.mean())
-    v = unit(ring_lat, ring_lng)
-    w = np.roll(v, -1, axis=0)
+def spherical_fan_area_m2(
+    clat: np.ndarray, clng: np.ndarray, vlat: np.ndarray, vlng: np.ndarray
+) -> np.ndarray:
+    """Spherical areas (m^2) of N polygons by fan triangulation from a
+    per-polygon apex: ``clat/clng`` (N,), ``vlat/vlng`` (N, K) vertex
+    rings.  Each triangle's excess via L'Huilier — exact whenever the
+    apex sees every edge (always true for convex rings with an interior
+    apex, e.g. H3 cells from their center, hulls from their centroid).
+    The SINGLE copy of this kernel — h3core.cell_area_m2 and
+    spherical_polygon_area_m2 both call it (review finding: it existed
+    three times)."""
+    c = _unit_xyz(np.asarray(clat, dtype=np.float64), np.asarray(clng, dtype=np.float64))
+    v = _unit_xyz(np.asarray(vlat, dtype=np.float64), np.asarray(vlng, dtype=np.float64))
+    w = np.roll(v, -1, axis=1)
 
     def arc(a, b):
         return 2.0 * np.arcsin(np.clip(np.linalg.norm(a - b, axis=-1) / 2.0, 0.0, 1.0))
 
-    a, b, cc = arc(v, w), arc(c[None], v), arc(c[None], w)
+    a, b, cc = arc(v, w), arc(c[:, None], v), arc(c[:, None], w)
     s = (a + b + cc) / 2.0
     t = np.tan(s / 2) * np.tan((s - a) / 2) * np.tan((s - b) / 2) * np.tan((s - cc) / 2)
-    return float((4.0 * np.arctan(np.sqrt(np.clip(t, 0.0, None)))).sum() * EARTH_R**2)
+    return (4.0 * np.arctan(np.sqrt(np.clip(t, 0.0, None)))).sum(axis=1) * EARTH_R**2
+
+
+def spherical_polygon_area_m2(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
+    """Spherical area of a simple polygon (m^2): fan from the vertex
+    centroid — exact for convex rings, good for near-convex region
+    extents."""
+    ring_lat = np.asarray(ring_lat, dtype=np.float64)
+    ring_lng = np.asarray(ring_lng, dtype=np.float64)
+    if len(ring_lat) < 3:
+        return 0.0
+    return float(
+        spherical_fan_area_m2(
+            np.array([ring_lat.mean()]), np.array([ring_lng.mean()]),
+            ring_lat[None, :], ring_lng[None, :],
+        )[0]
+    )

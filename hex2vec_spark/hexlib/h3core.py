@@ -906,24 +906,4 @@ def cell_area_m2(h: np.ndarray) -> np.ndarray:
     h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
     verts = cell_boundary(h)  # (n, 6, 2) lat/lng degrees
     clat, clng = cell_center(h)
-
-    def unit(lat, lng):
-        la, lo = np.radians(lat), np.radians(lng)
-        cl = np.cos(la)
-        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
-
-    c = unit(clat, clng)[:, None, :]              # (n, 1, 3)
-    v = unit(verts[:, :, 0], verts[:, :, 1])      # (n, 6, 3)
-    w = np.roll(v, -1, axis=1)                    # next vertex
-
-    def arc(a, b):
-        # numerically stable central angle
-        return 2.0 * np.arcsin(np.clip(np.linalg.norm(a - b, axis=-1) / 2.0, 0.0, 1.0))
-
-    a = arc(v, w)                                 # vertex-to-vertex
-    b = arc(c, v)                                 # center-to-vertex
-    cc = arc(c, w)
-    s = (a + b + cc) / 2.0
-    t = np.tan(s / 2) * np.tan((s - a) / 2) * np.tan((s - b) / 2) * np.tan((s - cc) / 2)
-    excess = 4.0 * np.arctan(np.sqrt(np.clip(t, 0.0, None)))
-    return excess.sum(axis=1) * _geom.EARTH_R**2
+    return _geom.spherical_fan_area_m2(clat, clng, verts[:, :, 0], verts[:, :, 1])

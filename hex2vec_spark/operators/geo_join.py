@@ -93,7 +93,14 @@ def destination_expr(
     la1 = F.radians(lat)
     th = F.radians(bearing_deg)
     dl = dist_m / F.lit(EARTH_R)
-    la2 = F.asin(F.sin(la1) * F.cos(dl) + F.cos(la1) * F.sin(dl) * F.cos(th))
+    # clamp like haversine_m_expr: a destination landing at/near a pole
+    # can push the FP sum to 1 + 1ulp (measured ~1% of pole-landing
+    # samples) and an unclamped asin returns NaN
+    sin_la2 = F.greatest(
+        F.lit(-1.0),
+        F.least(F.lit(1.0), F.sin(la1) * F.cos(dl) + F.cos(la1) * F.sin(dl) * F.cos(th)),
+    )
+    la2 = F.asin(sin_la2)
     lo2 = F.radians(lng) + F.atan2(
         F.sin(th) * F.sin(dl) * F.cos(la1), F.cos(dl) - F.sin(la1) * F.sin(la2)
     )
@@ -224,6 +231,65 @@ def distance_join(
     )
 
 
+_GRID_RESERVED = {"_band", "_idx", "_la0", "_la1", "_lg0", "_lg1"}
+
+
+def _bbox_bucket_candidates(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_deg: float,
+    lat_col: str,
+    lng_col: str,
+    ring_lat_col: str,
+    ring_lng_col: str,
+    carry: dict[str, Column],
+    broadcast_polys: bool = False,
+) -> DataFrame:
+    """Shared candidate stage for pip_join and streaming_geofence:
+    polygons explode to every ``cell_deg`` grid bucket their bbox
+    touches (id/payload columns per ``carry`` — caller controls whether
+    ring arrays travel), points hash to their single home bucket, one
+    equi-join on the bucket key, then the pure-JVM bbox containment
+    prefilter.  Returns every point column plus the ``carry`` columns;
+    all internal columns are dropped.  Raises on reserved-name clashes
+    (points streams/tables already carrying ``_band`` etc. would
+    otherwise fail with an ambiguous-reference error mid-plan)."""
+    s = float(cell_deg)
+    clash = (_GRID_RESERVED | set(carry)) & set(points.columns)
+    if clash:
+        raise ValueError(f"grid candidate stage reserves column names {sorted(clash)}")
+    b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
+    b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
+    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
+    i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
+    buckets = polygons.select(
+        *[c.alias(a) for a, c in carry.items()],
+        F.array_min(F.col(ring_lat_col)).alias("_la0"),
+        F.array_max(F.col(ring_lat_col)).alias("_la1"),
+        F.array_min(F.col(ring_lng_col)).alias("_lg0"),
+        F.array_max(F.col(ring_lng_col)).alias("_lg1"),
+        F.explode(F.sequence(b0, b1)).alias("_band"),
+        F.sequence(i0, i1).alias("_idxs"),
+    ).select(
+        *carry, "_la0", "_la1", "_lg0", "_lg1", "_band", F.explode("_idxs").alias("_idx")
+    )
+    if broadcast_polys:
+        buckets = F.broadcast(buckets)
+    pts = points.select(
+        "*",
+        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
+        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
+    )
+    return (
+        pts.join(buckets, ["_band", "_idx"], "inner")
+        .where(
+            F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
+            & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
+        )
+        .drop("_band", "_idx", "_la0", "_la1", "_lg0", "_lg1")
+    )
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -272,38 +338,20 @@ def pip_join(
     sharing an id): a point inside ANY ring matches, one output row per
     (point, polygon id).
 
-    Returns every point column plus ``poly_id_col``.
+    Returns every point column plus ``poly_id_col``.  NOTE: the dedup
+    stage is a ``distinct`` over ALL point columns — rows that are
+    byte-identical across every column collapse to one output row, so
+    include a unique id column when input multiplicity matters
+    (``distance_join`` by contrast preserves multiplicity).
     """
-    s = float(cell_deg)
-    reserved = {"_band", "_idx", "_pid", "_salt", "_ns", "_rla", "_rlg",
-                "_la0", "_la1", "_lg0", "_lg1"}
+    reserved = {"_pid", "_salt", "_ns", "_rla", "_rlg"}
     clash = reserved & (set(points.columns) | set(polygons.columns))
     if clash:
         raise ValueError(f"pip_join reserves column names {sorted(clash)}")
-    b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
-    b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
-    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
-    i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
-    buckets = polygons.select(
-        F.col(poly_id_col).alias("_pid"),
-        F.array_min(F.col(ring_lat_col)).alias("_la0"),
-        F.array_max(F.col(ring_lat_col)).alias("_la1"),
-        F.array_min(F.col(ring_lng_col)).alias("_lg0"),
-        F.array_max(F.col(ring_lng_col)).alias("_lg1"),
-        F.explode(F.sequence(b0, b1)).alias("_band"),
-        F.sequence(i0, i1).alias("_idxs"),
-    ).select("_pid", "_la0", "_la1", "_lg0", "_lg1", "_band", F.explode("_idxs").alias("_idx"))
-
-    pts = points.select(
-        "*",
-        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
-        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
-    )
     cand = (
-        pts.join(buckets, ["_band", "_idx"], "inner")
-        .where(
-            F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
-            & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
+        _bbox_bucket_candidates(
+            points, polygons, cell_deg, lat_col, lng_col,
+            ring_lat_col, ring_lng_col, carry={"_pid": F.col(poly_id_col)},
         )
         .select(*points.columns, "_pid")
         .distinct()

@@ -61,8 +61,10 @@ def _render_group(
 
     order = np.argsort(cells, kind="stable")
     sc, sv = cells[order], vals[order]
-    # duplicate (h3) rows: keep the LAST in sorted order (deterministic);
-    # callers should pass one row per (group, cell)
+    # duplicate (h3) rows: searchsorted(side='left') + stable sort keeps
+    # the FIRST occurrence in input order (deterministic); callers
+    # should pass one row per (group, cell) — pre-aggregate upstream if
+    # last-wins or summed semantics are wanted
     pos = np.searchsorted(sc, pix_cells)
     pos_c = np.clip(pos, 0, len(sc) - 1)
     hit = sc[pos_c] == pix_cells

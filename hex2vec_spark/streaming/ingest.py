@@ -100,35 +100,24 @@ def streaming_geofence(
 
     The verify here ships rings per candidate row (the batched
     per-distinct-ring kernel): the right tradeoff for micro-batch-sized
-    candidate sets, vs pip_join's cogroup for backfill-sized ones.
+    candidate sets, vs pip_join's cogroup for backfill-sized ones.  The
+    candidate stage (bbox-bucket explode + home bucket + bbox prefilter)
+    is shared with pip_join via ``geo_join._bbox_bucket_candidates`` —
+    one copy of the bucketing math, and the same reserved-column guard.
     """
-    s = float(cell_deg)
-    b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
-    b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
-    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
-    i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
-    fences = polygons_sdf.select(
-        F.col(poly_id_col),
-        F.col(ring_lat_col).alias("_rla"),
-        F.col(ring_lng_col).alias("_rlg"),
-        F.array_min(F.col(ring_lat_col)).alias("_la0"),
-        F.array_max(F.col(ring_lat_col)).alias("_la1"),
-        F.array_min(F.col(ring_lng_col)).alias("_lg0"),
-        F.array_max(F.col(ring_lng_col)).alias("_lg1"),
-        F.explode(F.sequence(b0, b1)).alias("_band"),
-        F.sequence(i0, i1).alias("_idxs"),
-    ).select(
-        poly_id_col, "_rla", "_rlg", "_la0", "_la1", "_lg0", "_lg1",
-        "_band", F.explode("_idxs").alias("_idx"),
-    )
-
-    pts = points_stream.select(
-        "*",
-        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
-        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
-    )
-
     from ..hexlib import geom
+    from ..operators.geo_join import _bbox_bucket_candidates
+
+    cand = _bbox_bucket_candidates(
+        points_stream, polygons_sdf, cell_deg, lat_col, lng_col,
+        ring_lat_col, ring_lng_col,
+        carry={
+            poly_id_col: F.col(poly_id_col),
+            "_rla": F.col(ring_lat_col),
+            "_rlg": F.col(ring_lng_col),
+        },
+        broadcast_polys=True,
+    )
 
     @F.pandas_udf("boolean")
     def _pip_pair(lat: pd.Series, lng: pd.Series, rla: pd.Series, rlg: pd.Series) -> pd.Series:
@@ -146,10 +135,6 @@ def streaming_geofence(
             )
         return pd.Series(out)
 
-    cand = pts.join(F.broadcast(fences), ["_band", "_idx"], "inner").where(
-        F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
-        & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
-    )
     # NO dropDuplicates here: on a stream it would allocate unbounded
     # dedup state. Each point meets each fence RING at most once (single
     # home bucket); only multi-ring fences can emit one row per
@@ -157,7 +142,7 @@ def streaming_geofence(
     # per micro-batch if needed.
     return cand.where(
         _pip_pair(F.col(lat_col), F.col(lng_col), F.col("_rla"), F.col("_rlg"))
-    ).drop("_band", "_idx", "_rla", "_rlg", "_la0", "_la1", "_lg0", "_lg1")
+    ).drop("_rla", "_rlg")
 
 
 def stateful_streaming_dedup(

@@ -338,6 +338,30 @@ class TestDistanceJoin:
         np.testing.assert_allclose(out["d_back"], out["d"], rtol=1e-9)
         np.testing.assert_allclose(out["brg_diff_shifted"], 180.0, atol=1e-6)
 
+    def test_destination_pole_landing_no_nan(self, spark):
+        # exact pole landings push the FP asin argument to 1 + 1ulp;
+        # the clamp must yield lat ~ 90, never NaN (review finding)
+        from hex2vec_spark.operators.geo_join import destination_expr
+
+        R = 6_371_008.8
+        rng = np.random.default_rng(13)
+        lat = rng.uniform(60, 89, 200)
+        d = np.radians(90.0 - lat) * R  # exactly to the north pole
+        pdf = pd.DataFrame(
+            {"lat": lat, "lng": rng.uniform(-180, 180, 200), "brg": 0.0, "d": d}
+        )
+        out = (
+            spark.createDataFrame(pdf)
+            .select(
+                destination_expr(F.col("lat"), F.col("lng"), F.col("brg"), F.col("d")).alias("p")
+            )
+            .select(F.col("p.lat").alias("la"))
+            .toPandas()["la"]
+            .to_numpy()
+        )
+        assert not np.isnan(out).any()
+        np.testing.assert_allclose(out, 90.0, atol=1e-6)
+
     def test_haversine_expr_matches_numpy(self, spark):
         rng = np.random.default_rng(2)
         pdf = pd.DataFrame(

@@ -14,15 +14,20 @@ def main() -> int:
     # a bare SparkSession.builder leaves dynamic partition pruning on,
     # and DPP's alias-substitution planning walk is exponential through
     # the JVM H3 encode chain (documented in plans/session.py: observed
-    # driver heap OOM even on a 2k-row smoke). spark-submit's --master
-    # and --conf still win: master is read back from the submit conf,
-    # and any --conf is already in the JVM properties that getOrCreate
-    # merges.
-    from hex2vec_spark.plans.session import get_spark
+    # driver heap OOM even on a 2k-row smoke). Profile keys are applied
+    # ONLY where the user did not pass --conf: Builder.config overrides
+    # the submit conf, so blanket-applying the profile would silently
+    # swallow cluster tuning flags (review finding).
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(
-        "submit-smoke", master=SparkConf().get("spark.master", "local[4]")
-    )
+    from hex2vec_spark.plans.session import profile_conf
+
+    submit_conf = SparkConf()  # loaded from spark-submit's properties
+    b = SparkSession.builder.appName("submit-smoke")
+    for k, v in profile_conf().items():
+        if not submit_conf.contains(k):
+            b = b.config(k, v)
+    spark = b.getOrCreate()
     from hex2vec_spark.operators.agg import hex_features
     from hex2vec_spark.operators.spatial import build_tiling, spatial_join
     from hex2vec_spark.sources.synth import images_table, regions_pandas
