@@ -860,7 +860,18 @@ def grid_path(a: np.ndarray, b: np.ndarray, max_steps: int | None = None) -> lis
         raise ValueError("a and b must have the same shape")
     if len(a) == 0:
         return []
-    res = int(get_resolution(a[:1])[0])
+    # uniform-resolution validation up front (round-4 advisor): a batch
+    # mixing resolutions would size max_steps from the wrong edge length
+    # (spurious non-convergence errors or wild step budgets), and an
+    # a/b mismatch only surfaced after the walk failed
+    res_a = get_resolution(a)
+    res_b = get_resolution(b)
+    if not (np.all(res_a == res_a[0]) and np.all(res_b == res_a[0])):
+        raise ValueError(
+            "grid_path: all cells must share one resolution; got a res in "
+            f"{sorted(set(res_a.tolist()))}, b res in {sorted(set(res_b.tolist()))}"
+        )
+    res = int(res_a[0])
     tlat, tlng = cell_center(b)
     clat, clng = cell_center(a)
     if max_steps is None:

@@ -176,6 +176,10 @@ def distance_join(
     # the pad costs nothing.
     g *= 1.0 + 1e-9
     reserved = {"_band", "_idx", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
+    # dist_col is an OUTPUT column: an input already carrying that name
+    # (plausible in geo data) would be silently replaced by withColumn —
+    # error like the internal reserved names do (round-4 advisor fix)
+    reserved = reserved | {dist_col}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"distance_join reserves column names {sorted(clash)}")
@@ -260,7 +264,24 @@ def _bbox_bucket_candidates(
         raise ValueError(f"grid candidate stage reserves column names {sorted(clash)}")
     b0 = F.floor(F.array_min(F.col(ring_lat_col)) / s).cast("long")
     b1 = F.floor(F.array_max(F.col(ring_lat_col)) / s).cast("long")
-    i0 = F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long")
+    # antimeridian guard (round-4 advisor): a ring crossing 180° has a
+    # globe-spanning lng bbox — its bucket explosion would be ~360/s per
+    # band AND the bbox prefilter would pass wrong points. Validate
+    # extent < 180° and raise with the split-at-180 instruction instead
+    # of silently exploding. Evaluated JVM-side per polygon row.
+    lng_extent = F.array_max(F.col(ring_lng_col)) - F.array_min(F.col(ring_lng_col))
+    i0 = F.when(
+        lng_extent < F.lit(180.0),
+        F.floor(F.array_min(F.col(ring_lng_col)) / s).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("polygon lng extent >= 180 deg (antimeridian-crossing ring?) "
+                      "— split the ring at 180 first; extent="),
+                lng_extent.cast("string"),
+            )
+        ).cast("long")
+    )
     i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
     buckets = polygons.select(
         *[c.alias(a) for a, c in carry.items()],
@@ -348,6 +369,13 @@ def pip_join(
     clash = reserved & (set(points.columns) | set(polygons.columns))
     if clash:
         raise ValueError(f"pip_join reserves column names {sorted(clash)}")
+    if poly_id_col in points.columns:
+        # the output appends poly_id_col to the point columns; a point
+        # column of the same name would produce a duplicate field in the
+        # applyInPandas schema and be silently overwritten in the kernel
+        raise ValueError(
+            f"pip_join output column {poly_id_col!r} already exists in points"
+        )
     cand = (
         _bbox_bucket_candidates(
             points, polygons, cell_deg, lat_col, lng_col,
@@ -510,6 +538,9 @@ def knn_join(
     """
     from pyspark.sql import Window
 
+    if rank_col in set(left.columns) | set(right.columns):
+        # output column, same silent-replace hazard as dist_col above
+        raise ValueError(f"knn_join output column {rank_col!r} already exists in an input")
     pairs = distance_join(
         left,
         right,

@@ -41,7 +41,16 @@ def _render_group(
 ) -> tuple[bytes, float, float, float, float, float, float]:
     cells = pdf[h3_col].to_numpy().astype(np.int64).view(np.uint64)
     vals = pdf[value_col].to_numpy(dtype=np.float64)
-    res = int(h3core.get_resolution(cells[:1])[0])
+    # resolution must be uniform within the group (round-4 advisor):
+    # cells at any other resolution would silently render as background
+    # (searchsorted on re-encoded pixel cells never matches them)
+    res_all = h3core.get_resolution(cells)
+    if not np.all(res_all == res_all[0]):
+        raise ValueError(
+            "rasterize: group mixes H3 resolutions "
+            f"{sorted(set(res_all.tolist()))}; pre-aggregate to one resolution"
+        )
+    res = int(res_all[0])
     if bbox is None:
         clat, clng = h3core.cell_center(cells)
         pad = np.degrees(h3core.edge_length_m(res) * 2.0 / 6_371_008.8)

@@ -104,6 +104,10 @@ def streaming_geofence(
     candidate stage (bbox-bucket explode + home bucket + bbox prefilter)
     is shared with pip_join via ``geo_join._bbox_bucket_candidates`` —
     one copy of the bucketing math, and the same reserved-column guard.
+
+    Like ``pip_join``, fences crossing the antimeridian are not
+    supported — the shared candidate stage raises on any ring whose
+    longitude extent reaches 180°; split such fences at 180 first.
     """
     from ..hexlib import geom
     from ..operators.geo_join import _bbox_bucket_candidates

@@ -380,3 +380,52 @@ class TestDistanceJoin:
         )
         want = haversine_m(pdf["la1"], pdf["lo1"], pdf["la2"], pdf["lo2"])
         np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-12)
+
+
+class TestReservedNameGuards:
+    """Round-5 advisor fixes: output columns that already exist in an
+    input raise instead of being silently replaced."""
+
+    def test_distance_join_rejects_existing_dist_col(self, spark):
+        pdf = _points(n=8)
+        sdf = spark.createDataFrame(pdf.assign(dist_m=1.0))
+        clean = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError, match="dist_m"):
+            distance_join(sdf, clean, 1000.0)
+        with pytest.raises(ValueError, match="dist_m"):
+            distance_join(clean, sdf, 1000.0)
+
+    def test_knn_join_rejects_existing_rank_col(self, spark):
+        pdf = _points(n=8)
+        sdf = spark.createDataFrame(pdf.assign(knn_rank=0))
+        clean = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError, match="knn_rank"):
+            knn_join(sdf, clean, 1, 1000.0, ["pid"], ["pid_r"])
+
+    def test_pip_join_rejects_existing_poly_id_col(self, spark):
+        pts = spark.createDataFrame(_points(n=8).assign(obj_id="x"))
+        polys = spark.createDataFrame(
+            pd.DataFrame(
+                {"obj_id": ["p"], "ring_lat": [[0.0, 0.0, 1.0, 1.0]],
+                 "ring_lng": [[0.0, 1.0, 1.0, 0.0]]}
+            )
+        )
+        with pytest.raises(ValueError, match="obj_id"):
+            pip_join(pts, polys)
+
+    def test_antimeridian_ring_raises(self, spark):
+        """A ring spanning >=180 deg of longitude raises with the
+        split-at-180 instruction instead of exploding globe-wide."""
+        from pyspark.errors import PySparkRuntimeError
+        from py4j.protocol import Py4JJavaError
+
+        pts = spark.createDataFrame(_points(n=8))
+        polys = spark.createDataFrame(
+            pd.DataFrame(
+                {"obj_id": ["p"], "ring_lat": [[0.0, 0.0, 1.0, 1.0]],
+                 "ring_lng": [[-179.5, 179.5, 179.5, -179.5]]}
+            )
+        )
+        with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+            pip_join(pts, polys).collect()
+        assert "antimeridian" in str(ei.value) or "split the ring" in str(ei.value)

@@ -394,3 +394,15 @@ class TestY4MCodec:
         frames = y4m_decode(a)
         assert len({phash64(f) for f in frames}) == len(frames)  # frames distinct
         assert synth_y4m_bytes(5) != a  # clips distinct
+
+
+class TestGridPathResolutionGuard:
+    def test_mixed_resolution_raises_up_front(self):
+        a = h3.encode(np.array([40.0, 41.0]), np.array([15.0, 15.0]), 8)
+        b = h3.encode(np.array([40.01, 41.01]), np.array([15.0, 15.0]), 8)
+        mixed = a.copy()
+        mixed[1] = h3.encode(np.array([41.0]), np.array([15.0]), 9)[0]
+        with pytest.raises(ValueError, match="one resolution"):
+            h3.grid_path(mixed, b)
+        with pytest.raises(ValueError, match="one resolution"):
+            h3.grid_path(a, np.array([b[0], h3.encode(np.array([41.01]), np.array([15.0]), 9)[0]]))

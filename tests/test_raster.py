@@ -113,3 +113,19 @@ class TestRasterizeHex:
         assert row["lng0"] < clng.min() and row["lng1"] > clng.max()
         gray = png_decode(bytes(row["bytes"]))[:, :, 0]
         assert gray.max() > 0  # something rendered
+
+
+class TestMixedResolutionGuard:
+    def test_group_mixing_resolutions_raises(self, spark):
+        """Cells at a foreign resolution must raise, not silently render
+        as background (round-5 advisor fix)."""
+        pdf = _cells_with_values(n=20)
+        coarse = h3core.encode(np.array([41.02]), np.array([15.03]), RES - 1)
+        pdf = pd.concat(
+            [pdf, pd.DataFrame({"h3": coarse.view(np.int64), "value": [1.0]})],
+            ignore_index=True,
+        )
+        sdf = spark.createDataFrame(pdf).withColumn("g", F.lit(0))
+        out = rasterize_hex(sdf, "value", group_cols=["g"], width=32, height=32)
+        with pytest.raises(Exception, match="mixes H3 resolutions"):
+            out.collect()
