@@ -282,7 +282,7 @@ def knn_cell_centroids_pruned(
     result equals the exact scan — asserted in tests.
     """
     from ..hexlib import h3core, geom
-    from ..functions.h3_fns import h3_parent_udf
+    from .hierarchy import parent_col
 
     qlat, qlng = query_latlng
     cells = corpus.select(h3_col).distinct()
@@ -296,8 +296,14 @@ def knn_cell_centroids_pruned(
     r = 1
     while True:
         _, prefixes = h3core.kring_flat(qparent, r)
+        # JVM bit expression (hierarchy.parent_col), not the Arrow
+        # parent UDF — re-evaluated per ring, so the Python worker cost
+        # compounded here; corpus cells are at res >= pres by
+        # construction, so check=False is safe
         pruned = cells.where(
-            h3_parent_udf(pres)(F.col(h3_col)).isin([int(x) for x in prefixes.view(np.int64)])
+            parent_col(F.col(h3_col), pres, check=False).isin(
+                [int(x) for x in prefixes.view(np.int64)]
+            )
         )
         top = knn_cell_centroids(pruned, query_latlng, k, h3_col)
         rows = top.collect()
