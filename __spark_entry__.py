@@ -1241,6 +1241,54 @@ def _q_pip_join(spark, sf_dir):
     return pip_join(pts, polys, cell_deg=0.05).select("vec_id", "obj_id")
 
 
+def _q_pip_join_holes(spark, sf_dir):
+    # round-5: pip_join over polygons WITH interior rings (geo_join.
+    # pip_join holes_lat/holes_lng; even-odd over exterior + holes,
+    # hexlib.geom.points_in_polygon_with_holes — the reference's sjoin
+    # on shapely polygons with interiors, make_dataset.py:96-99).
+    # Axis-aligned fixture rectangles make the semantics fully
+    # SQL-expressible, so unlike pip_join_assign this entry is
+    # DuckDB-oracled end to end (rect containment minus per-part holes,
+    # union over MultiPolygon parts, DISTINCT per (point, id)).
+    from hex2vec_spark.operators.geo_join import pip_join
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(500)
+        .select(
+            "vec_id",
+            (F.lit(41.0) + F.element_at(F.col("embedding"), 1).cast("double") * 2.5).alias("lat"),
+            (F.lit(15.5) + F.element_at(F.col("embedding"), 2).cast("double") * 3.75).alias("lng"),
+        )
+    )
+
+    def rect(la0, la1, lg0, lg1):
+        return [la0, la0, la1, la1], [lg0, lg1, lg1, lg0]
+
+    rows = []
+    ela, elg = rect(40.02, 41.03, 15.01, 16.04)
+    h1a, h1g = rect(40.31, 40.72, 15.33, 15.71)
+    rows.append(("A", ela, elg, [h1a], [h1g]))
+    ela, elg = rect(41.21, 42.23, 15.02, 16.01)
+    h2a, h2g = rect(41.32, 41.51, 15.11, 15.42)
+    h3a, h3g = rect(41.81, 42.02, 15.61, 15.92)
+    rows.append(("B", ela, elg, [h2a, h3a], [h2g, h3g]))
+    ela, elg = rect(40.03, 41.01, 16.21, 17.23)
+    rows.append(("C", ela, elg, None, None))
+    ela, elg = rect(41.22, 41.63, 16.22, 16.81)
+    h4a, h4g = rect(41.31, 41.42, 16.41, 16.62)
+    rows.append(("D", ela, elg, [h4a], [h4g]))
+    ela, elg = rect(41.81, 42.21, 16.23, 16.82)
+    rows.append(("D", ela, elg, None, None))
+    polys = spark.createDataFrame(
+        rows,
+        schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
+               "holes_lat array<array<double>>, holes_lng array<array<double>>",
+    )
+    return pip_join(pts, polys, cell_deg=0.3).select("vec_id", "obj_id")
+
+
 def _q_rasterize_regions(spark, sf_dir):
     # vector -> raster (operators/raster.rasterize_hex): per-region
     # image counts per hex rendered to georeferenced grayscale PNGs via
@@ -2277,6 +2325,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "destination_points": _q_destination,
         "region_hulls": _q_region_hulls,
         "pip_join_assign": _q_pip_join,
+        "pip_join_holes": _q_pip_join_holes,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
@@ -2943,6 +2992,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(o_totalprice), 2) AS lo,
                    ROUND(MAX(o_totalprice), 2) AS hi
             FROM orders GROUP BY bucket
+        """,
+        "pip_join_holes": """
+            WITH pts AS (
+                SELECT vec_id,
+                       41.0 + CAST(embedding[1] AS DOUBLE) * 2.5 AS lat,
+                       15.5 + CAST(embedding[2] AS DOUBLE) * 3.75 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 500
+            ), parts(obj_id, part, la0, la1, lg0, lg1) AS (VALUES
+                ('A', 0, 40.02, 41.03, 15.01, 16.04),
+                ('B', 0, 41.21, 42.23, 15.02, 16.01),
+                ('C', 0, 40.03, 41.01, 16.21, 17.23),
+                ('D', 0, 41.22, 41.63, 16.22, 16.81),
+                ('D', 1, 41.81, 42.21, 16.23, 16.82)
+            ), holes(obj_id, part, la0, la1, lg0, lg1) AS (VALUES
+                ('A', 0, 40.31, 40.72, 15.33, 15.71),
+                ('B', 0, 41.32, 41.51, 15.11, 15.42),
+                ('B', 0, 41.81, 42.02, 15.61, 15.92),
+                ('D', 0, 41.31, 41.42, 16.41, 16.62)
+            )
+            SELECT DISTINCT p.vec_id, q.obj_id
+            FROM pts p JOIN parts q
+              ON p.lat > q.la0 AND p.lat < q.la1
+             AND p.lng > q.lg0 AND p.lng < q.lg1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM holes h
+                WHERE h.obj_id = q.obj_id AND h.part = q.part
+                  AND p.lat > h.la0 AND p.lat < h.la1
+                  AND p.lng > h.lg0 AND p.lng < h.lg1)
         """,
         "distance_pairs": """
             WITH pts AS (

@@ -44,6 +44,32 @@ def points_in_polygon(
     return crossings.sum(axis=1) % 2 == 1
 
 
+def points_in_polygon_with_holes(
+    plat: np.ndarray,
+    plng: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lng: np.ndarray,
+    holes: "list[tuple[np.ndarray, np.ndarray]] | tuple" = (),
+) -> np.ndarray:
+    """Even-odd containment for a polygon with interior rings (round-5:
+    the reference's ``gpd.sjoin`` handles arbitrary shapely geometry
+    incl. holes — make_dataset.py:96-99; OSM boundary polygons routinely
+    carry enclave holes).
+
+    Even-odd ray casting composes: a point's containment in (exterior
+    minus holes) is the XOR of its crossing parity over the exterior
+    ring and over each hole ring — for properly nested rings this is
+    exactly "inside the exterior and not inside any hole", and for the
+    boundary-degenerate cases it matches the even-odd fill rule the
+    flat :func:`points_in_polygon` already implements."""
+    inside = points_in_polygon(plat, plng, ring_lat, ring_lng)
+    for hla, hlg in holes:
+        inside ^= points_in_polygon(
+            plat, plng, np.asarray(hla, dtype=np.float64), np.asarray(hlg, dtype=np.float64)
+        )
+    return inside
+
+
 def _segments_intersect(
     ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
 ) -> np.ndarray:
@@ -162,6 +188,40 @@ def polygons_intersect_hexes_pairs(
         hit |= inter.any(axis=(1, 2))
         out[sl] = hit
     return out
+
+
+def hexes_inside_ring(
+    hex_verts_lat: np.ndarray,
+    hex_verts_lng: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lng: np.ndarray,
+) -> np.ndarray:
+    """True where the (convex) hexagon lies entirely in the ring's open
+    interior: all vertices inside AND no hex edge properly crossing a
+    ring edge. Used to subtract hole-swallowed cells from a tiling — a
+    hex that crosses the hole boundary still intersects the polygon, a
+    hex the hole fully contains does not. (A hole strictly inside a hex
+    cannot satisfy the all-vertices test, so that case is correctly
+    "not contained".)"""
+    n, m = hex_verts_lat.shape
+    flat_in = points_in_polygon(
+        hex_verts_lat.ravel(), hex_verts_lng.ravel(), ring_lat, ring_lng
+    ).reshape(n, m)
+    inside = flat_in.all(axis=1)
+    idx = np.nonzero(inside)[0]
+    if idx.size:
+        hv_lat = hex_verts_lat[idx]
+        hv_lng = hex_verts_lng[idx]
+        hx1, hy1 = hv_lng, hv_lat
+        hx2, hy2 = np.roll(hv_lng, -1, axis=1), np.roll(hv_lat, -1, axis=1)
+        rx1, ry1 = np.asarray(ring_lng, dtype=np.float64), np.asarray(ring_lat, dtype=np.float64)
+        rx2, ry2 = np.roll(rx1, -1), np.roll(ry1, -1)
+        inter = _segments_intersect(
+            hx1[:, :, None], hy1[:, :, None], hx2[:, :, None], hy2[:, :, None],
+            rx1[None, None, :], ry1[None, None, :], rx2[None, None, :], ry2[None, None, :],
+        )
+        inside[idx] &= ~inter.any(axis=(1, 2))
+    return inside
 
 
 # ------------------------------------------------------------- reprojection

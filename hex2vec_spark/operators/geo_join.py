@@ -320,6 +320,8 @@ def pip_join(
     poly_id_col: str = "obj_id",
     ring_lat_col: str = "ring_lat",
     ring_lng_col: str = "ring_lng",
+    holes_lat_col: str = "holes_lat",
+    holes_lng_col: str = "holes_lng",
     verify_target: int = 1_000_000,
     materialize: bool = True,
 ) -> DataFrame:
@@ -359,13 +361,23 @@ def pip_join(
     sharing an id): a point inside ANY ring matches, one output row per
     (point, polygon id).
 
+    Interior rings (round 5): if the polygon side carries
+    ``holes_lat_col``/``holes_lng_col`` (``array<array<double>>`` — a
+    list of hole rings per row), a point inside a hole does NOT match
+    that ring (even-odd over exterior + holes,
+    geom.points_in_polygon_with_holes — the reference's sjoin semantics
+    on shapely polygons with interiors).  The candidate stage is
+    unchanged: holes only shrink the exterior's area, so the exterior
+    bbox still bounds the polygon.  Columns absent -> hole-free
+    behavior, byte-identical plan.
+
     Returns every point column plus ``poly_id_col``.  NOTE: the dedup
     stage is a ``distinct`` over ALL point columns — rows that are
     byte-identical across every column collapse to one output row, so
     include a unique id column when input multiplicity matters
     (``distance_join`` by contrast preserves multiplicity).
     """
-    reserved = {"_pid", "_salt", "_ns", "_rla", "_rlg"}
+    reserved = {"_pid", "_salt", "_ns", "_rla", "_rlg", "_hla", "_hlg"}
     clash = reserved & (set(points.columns) | set(polygons.columns))
     if clash:
         raise ValueError(f"pip_join reserves column names {sorted(clash)}")
@@ -398,15 +410,26 @@ def pip_join(
     cand = cand.join(salt_map, "_pid").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(lat_col), F.col(lng_col)), F.col("_ns"))
     ).drop("_ns")
+    has_holes = holes_lat_col in polygons.columns and holes_lng_col in polygons.columns
+    hole_sel = (
+        [
+            F.col(holes_lat_col).alias("_hla"),
+            F.col(holes_lng_col).alias("_hlg"),
+        ]
+        if has_holes
+        else []
+    )
     rings = (
         polygons.select(
             F.col(poly_id_col).alias("_pid"),
             F.col(ring_lat_col).alias("_rla"),
             F.col(ring_lng_col).alias("_rlg"),
+            *hole_sel,
         )
         .join(salt_map, "_pid")
         .select(
             "_pid", "_rla", "_rlg",
+            *(["_hla", "_hlg"] if has_holes else []),
             F.explode(F.sequence(F.lit(0).cast("long"), F.col("_ns") - 1)).alias("_salt"),
         )
     )
@@ -424,11 +447,22 @@ def pip_join(
         la = left[lat_col].to_numpy(dtype=np.float64)
         lg = left[lng_col].to_numpy(dtype=np.float64)
         inside = np.zeros(len(left), dtype=bool)
-        for _, ring in right.iterrows():
-            inside |= geom.points_in_polygon(
+        # plain-tuple itertuples (underscore names would be renamed by
+        # namedtuple) over ~1 ring per (polygon, salt) group; holes XOR
+        # the crossing parity per ring (even-odd), parts OR across rows
+        rcols = list(right.columns)
+        i_rla, i_rlg = rcols.index("_rla"), rcols.index("_rlg")
+        i_hla = rcols.index("_hla") if has_holes else -1
+        i_hlg = rcols.index("_hlg") if has_holes else -1
+        for ring in right.itertuples(index=False, name=None):
+            holes = []
+            if has_holes and ring[i_hla] is not None and ring[i_hlg] is not None:
+                holes = list(zip(ring[i_hla], ring[i_hlg]))
+            inside |= geom.points_in_polygon_with_holes(
                 la, lg,
-                np.asarray(ring["_rla"], dtype=np.float64),
-                np.asarray(ring["_rlg"], dtype=np.float64),
+                np.asarray(ring[i_rla], dtype=np.float64),
+                np.asarray(ring[i_rlg], dtype=np.float64),
+                holes,
             )
         hit = left.loc[inside, pcols].copy()
         hit[poly_id_col] = left.loc[inside, "_pid"].to_numpy()

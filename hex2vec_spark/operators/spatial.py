@@ -34,6 +34,23 @@ from ..functions.h3_fns import DEFAULT_BBOX, DEFAULT_RES, h3_from_phash_res
 _TILING_MEMO: dict[tuple, pd.DataFrame] = {}
 
 
+def _row_holes(row) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Interior rings of a regions-frame row: zipped float64 arrays from
+    the optional ``holes_lat``/``holes_lng`` entries (absent, None, or
+    empty -> no holes)."""
+    hl = row.get("holes_lat") if hasattr(row, "get") else None
+    hg = row.get("holes_lng") if hasattr(row, "get") else None
+    # a frame mixing holed and hole-free rows carries NaN for the latter
+    if hl is None or hg is None or (np.isscalar(hl) and pd.isna(hl)) or len(hl) == 0:
+        return []
+    if len(hl) != len(hg):
+        raise ValueError("holes_lat and holes_lng must have the same ring count")
+    return [
+        (np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64))
+        for a, b in zip(hl, hg)
+    ]
+
+
 def build_tiling(regions_pdf: pd.DataFrame, res: int = DEFAULT_RES, buffer_k: int = 2) -> pd.DataFrame:
     """Hex tiling of each region: all res-``res`` cells intersecting the
     region polygon(s).
@@ -47,6 +64,14 @@ def build_tiling(regions_pdf: pd.DataFrame, res: int = DEFAULT_RES, buffer_k: in
 
     Returns pandas (region_id, h3:int64) — a dimension table, built
     driver-side and broadcast (SURVEY.md J2: tiny side always broadcast).
+
+    Interior rings (round 5): rows may carry ``holes_lat``/``holes_lng``
+    — a list of rings, each a list of floats — and a cell is then kept
+    iff it intersects (exterior minus holes): the exterior intersects
+    test as before, minus cells a hole fully swallows
+    (geom.hexes_inside_ring; cells crossing a hole boundary still
+    intersect the polygon). This matches the reference's sjoin on
+    shapely polygons with interiors (make_dataset.py:96-99).
     """
     # Per-region scalar covers, NOT cover_intersect_batch: the batch
     # path's pair bookkeeping (composite-key dedupe, per-pair gathers)
@@ -62,6 +87,12 @@ def build_tiling(regions_pdf: pd.DataFrame, res: int = DEFAULT_RES, buffer_k: in
         cand = h3core.cells_covering_bbox(ring_lat, ring_lng, res, pad_cells=buffer_k)
         verts = h3core.cell_boundary(cand)  # (n, 6, 2)
         hit = geom.polygons_intersect_hexes(verts[:, :, 0], verts[:, :, 1], ring_lat, ring_lng)
+        for hla, hlg in _row_holes(row):
+            inhole = np.zeros_like(hit)
+            inhole[hit] = geom.hexes_inside_ring(
+                verts[hit, :, 0], verts[hit, :, 1], hla, hlg
+            )
+            hit &= ~inhole
         cells = cand[hit]
         out.append(pd.DataFrame({"region_id": row["region_id"], "h3": cells.view(np.int64)}))
     tiling = pd.concat(out, ignore_index=True)
@@ -76,7 +107,12 @@ def build_tiling_cached(
     buffer_k)."""
     key_parts = [res, buffer_k]
     for _, row in regions_pdf.iterrows():
-        key_parts.append((row["region_id"], tuple(row["ring_lat"]), tuple(row["ring_lng"])))
+        holes = tuple(
+            (tuple(a.tolist()), tuple(b.tolist())) for a, b in _row_holes(row)
+        )
+        key_parts.append(
+            (row["region_id"], tuple(row["ring_lat"]), tuple(row["ring_lng"]), holes)
+        )
     key = tuple(key_parts)
     if key not in _TILING_MEMO:
         _TILING_MEMO[key] = build_tiling(regions_pdf, res=res, buffer_k=buffer_k)
@@ -109,6 +145,10 @@ def regions_content_key(regions_pdf: pd.DataFrame) -> str:
         h.update(str(row["region_id"]).encode())
         h.update(np.asarray(row["ring_lat"], dtype=np.float64).tobytes())
         h.update(np.asarray(row["ring_lng"], dtype=np.float64).tobytes())
+        for hla, hlg in _row_holes(row):
+            h.update(b"hole")
+            h.update(hla.tobytes())
+            h.update(hlg.tobytes())
     return h.hexdigest()[:10]
 
 
@@ -352,11 +392,21 @@ def strict_region_assign(
     """Optional strict point-in-polygon refine (north_star's PIP
     assignment): keeps only rows whose geotag point is inside the region
     polygon itself (not just inside an intersecting boundary hex).
-    Vectorized PIP against broadcast region rings."""
-    rings: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    Vectorized PIP against broadcast region rings.
+
+    Interior rings (round 5): region rows may carry ``holes_lat``/
+    ``holes_lng`` (list of rings) — a point inside a hole is NOT in the
+    region part (even-odd over exterior + holes,
+    geom.points_in_polygon_with_holes); MultiPolygon parts (several
+    rows per region) keep union semantics."""
+    rings: dict[str, list] = {}
     for _, row in regions_pdf.iterrows():
         rings.setdefault(row["region_id"], []).append(
-            (np.asarray(row["ring_lat"]), np.asarray(row["ring_lng"]))
+            (
+                np.asarray(row["ring_lat"]),
+                np.asarray(row["ring_lng"]),
+                _row_holes(row),
+            )
         )
 
     @F.pandas_udf("boolean")
@@ -367,8 +417,10 @@ def strict_region_assign(
         out = np.zeros(len(phash), dtype=bool)
         for rid in region_id.unique():
             m = (region_id == rid).to_numpy()
-            for ring_lat, ring_lng in rings.get(rid, []):
-                out[m] |= geom.points_in_polygon(lat[m], lng[m], ring_lat, ring_lng)
+            for ring_lat, ring_lng, holes in rings.get(rid, []):
+                out[m] |= geom.points_in_polygon_with_holes(
+                    lat[m], lng[m], ring_lat, ring_lng, holes
+                )
         return pd.Series(out)
 
     return joined.where(_pip(F.col("phash"), F.col("region_id")))

@@ -83,10 +83,15 @@ def streaming_geofence(
     poly_id_col: str = "obj_id",
     ring_lat_col: str = "ring_lat",
     ring_lng_col: str = "ring_lng",
+    holes_lat_col: str = "holes_lat",
+    holes_lng_col: str = "holes_lng",
 ) -> DataFrame:
     """Streaming geofence: (point, fence) rows for every streamed point
     inside a fence polygon — the streaming face of
-    ``operators/geo_join.pip_join``.
+    ``operators/geo_join.pip_join``.  Fences may carry interior rings
+    (``holes_lat_col``/``holes_lng_col``, ``array<array<double>>``):
+    a point inside a hole is outside the fence (round 5; same even-odd
+    semantics as pip_join).
 
     The fence set is a STATIC side (geofences change rarely; restart the
     query to pick up a new set), so this is a stateless stream-static
@@ -112,6 +117,13 @@ def streaming_geofence(
     from ..hexlib import geom
     from ..operators.geo_join import _bbox_bucket_candidates
 
+    # holes always travel as a (possibly null) array<array<double>> pair
+    # so the verify UDF keeps ONE static signature whether or not the
+    # fence table carries interior rings
+    has_holes = (
+        holes_lat_col in polygons_sdf.columns and holes_lng_col in polygons_sdf.columns
+    )
+    null_rings = F.lit(None).cast("array<array<double>>")
     cand = _bbox_bucket_candidates(
         points_stream, polygons_sdf, cell_deg, lat_col, lng_col,
         ring_lat_col, ring_lng_col,
@@ -119,23 +131,38 @@ def streaming_geofence(
             poly_id_col: F.col(poly_id_col),
             "_rla": F.col(ring_lat_col),
             "_rlg": F.col(ring_lng_col),
+            "_hla": F.col(holes_lat_col) if has_holes else null_rings,
+            "_hlg": F.col(holes_lng_col) if has_holes else null_rings,
         },
         broadcast_polys=True,
     )
 
+    def _ring_key(rla, rlg, hla, hlg):
+        k = np.asarray(rla).tobytes() + np.asarray(rlg).tobytes()
+        if hla is not None and hlg is not None:
+            for a, b in zip(hla, hlg):
+                k += b"|" + np.asarray(a).tobytes() + np.asarray(b).tobytes()
+        return k
+
     @F.pandas_udf("boolean")
-    def _pip_pair(lat: pd.Series, lng: pd.Series, rla: pd.Series, rlg: pd.Series) -> pd.Series:
+    def _pip_pair(
+        lat: pd.Series, lng: pd.Series, rla: pd.Series, rlg: pd.Series,
+        hla: pd.Series, hlg: pd.Series,
+    ) -> pd.Series:
         la, lg = lat.to_numpy(), lng.to_numpy()
         out = np.zeros(len(la), dtype=bool)
         key = pd.Series(
-            [np.asarray(a).tobytes() + np.asarray(b).tobytes() for a, b in zip(rla, rlg)]
+            [_ring_key(a, b, c, d) for a, b, c, d in zip(rla, rlg, hla, hlg)]
         )
         for _, idx in key.groupby(key).groups.items():
             ii = np.asarray(idx)
-            out[ii] = geom.points_in_polygon(
+            h0la, h0lg = hla.iloc[ii[0]], hlg.iloc[ii[0]]
+            holes = list(zip(h0la, h0lg)) if h0la is not None and h0lg is not None else []
+            out[ii] = geom.points_in_polygon_with_holes(
                 la[ii], lg[ii],
                 np.asarray(rla.iloc[ii[0]], dtype=np.float64),
                 np.asarray(rlg.iloc[ii[0]], dtype=np.float64),
+                holes,
             )
         return pd.Series(out)
 
@@ -145,8 +172,11 @@ def streaming_geofence(
     # containing ring — acceptable geofence semantics, dedupe downstream
     # per micro-batch if needed.
     return cand.where(
-        _pip_pair(F.col(lat_col), F.col(lng_col), F.col("_rla"), F.col("_rlg"))
-    ).drop("_rla", "_rlg")
+        _pip_pair(
+            F.col(lat_col), F.col(lng_col),
+            F.col("_rla"), F.col("_rlg"), F.col("_hla"), F.col("_hlg"),
+        )
+    ).drop("_rla", "_rlg", "_hla", "_hlg")
 
 
 def stateful_streaming_dedup(

@@ -429,3 +429,109 @@ class TestReservedNameGuards:
         with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
             pip_join(pts, polys).collect()
         assert "antimeridian" in str(ei.value) or "split the ring" in str(ei.value)
+
+
+class TestInteriorRings:
+    """Round-5: polygons with holes (interior rings) across the PIP
+    family — the reference's gpd.sjoin handles shapely interiors
+    (make_dataset.py:96-99). Oracles are pure rectangle algebra
+    (axis-aligned rings), fully independent of the ray-cast kernel."""
+
+    @staticmethod
+    def _rect(la0, la1, lg0, lg1):
+        return [la0, la0, la1, la1], [lg0, lg1, lg1, lg0]
+
+    def _fixture(self):
+        # polygon A: donut (hole in the middle); polygon B: two holes;
+        # polygon C: hole-free; polygon D: MultiPolygon, one part holed
+        rows = []
+        ela, elg = self._rect(40.0, 41.0, 15.0, 16.0)
+        h1a, h1g = self._rect(40.3, 40.7, 15.3, 15.7)
+        rows.append({"obj_id": "A", "ring_lat": ela, "ring_lng": elg,
+                     "holes_lat": [h1a], "holes_lng": [h1g]})
+        ela, elg = self._rect(41.2, 42.2, 15.0, 16.0)
+        h2a, h2g = self._rect(41.3, 41.5, 15.1, 15.4)
+        h3a, h3g = self._rect(41.8, 42.0, 15.6, 15.9)
+        rows.append({"obj_id": "B", "ring_lat": ela, "ring_lng": elg,
+                     "holes_lat": [h2a, h3a], "holes_lng": [h2g, h3g]})
+        ela, elg = self._rect(40.0, 41.0, 16.2, 17.2)
+        rows.append({"obj_id": "C", "ring_lat": ela, "ring_lng": elg,
+                     "holes_lat": None, "holes_lng": None})
+        ela, elg = self._rect(41.2, 41.6, 16.2, 16.8)
+        h4a, h4g = self._rect(41.3, 41.4, 16.4, 16.6)
+        rows.append({"obj_id": "D", "ring_lat": ela, "ring_lng": elg,
+                     "holes_lat": [h4a], "holes_lng": [h4g]})
+        ela, elg = self._rect(41.8, 42.2, 16.2, 16.8)
+        rows.append({"obj_id": "D", "ring_lat": ela, "ring_lng": elg,
+                     "holes_lat": None, "holes_lng": None})
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def _in_rect(la, lg, ring_lat, ring_lng):
+        return (
+            (la > min(ring_lat)) & (la < max(ring_lat))
+            & (lg > min(ring_lng)) & (lg < max(ring_lng))
+        )
+
+    def _oracle(self, pts, polys_pdf):
+        la, lg = pts["lat"].to_numpy(), pts["lng"].to_numpy()
+        want = set()
+        for _, row in polys_pdf.iterrows():
+            inside = self._in_rect(la, lg, row["ring_lat"], row["ring_lng"])
+            if row["holes_lat"] is not None:
+                for ha, hg in zip(row["holes_lat"], row["holes_lng"]):
+                    inside &= ~self._in_rect(la, lg, ha, hg)
+            for pid in pts.loc[inside, "pid"]:
+                want.add((int(pid), row["obj_id"]))
+        return want
+
+    def test_pip_join_donut_vs_rectangle_oracle(self, spark):
+        rng = np.random.default_rng(5)
+        n = 4000
+        pts = pd.DataFrame({
+            "pid": np.arange(n),
+            "lat": rng.uniform(39.8, 42.4, n),
+            "lng": rng.uniform(14.8, 17.4, n),
+        })
+        polys_pdf = self._fixture()
+        polys = spark.createDataFrame(
+            polys_pdf,
+            schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
+                   "holes_lat array<array<double>>, holes_lng array<array<double>>",
+        )
+        got = pip_join(spark.createDataFrame(pts), polys, cell_deg=0.3)
+        got_set = {(int(r["pid"]), r["obj_id"]) for r in got.collect()}
+        want = self._oracle(pts, polys_pdf)
+        assert got_set == want
+        # holes actually bite: some points are inside an exterior but in a hole
+        no_holes = polys_pdf.assign(holes_lat=None, holes_lng=None)
+        assert len(self._oracle(pts, no_holes)) > len(want)
+
+    def test_pip_join_without_hole_columns_unchanged(self, spark):
+        """A polygon side with NO hole columns takes the identical code
+        path as before (has_holes False) and matches the rectangle oracle."""
+        rng = np.random.default_rng(6)
+        n = 1500
+        pts = pd.DataFrame({
+            "pid": np.arange(n),
+            "lat": rng.uniform(39.8, 42.4, n),
+            "lng": rng.uniform(14.8, 17.4, n),
+        })
+        polys_pdf = self._fixture().drop(columns=["holes_lat", "holes_lng"])
+        polys = spark.createDataFrame(
+            polys_pdf,
+            schema="obj_id string, ring_lat array<double>, ring_lng array<double>",
+        )
+        got = pip_join(spark.createDataFrame(pts), polys, cell_deg=0.3)
+        got_set = {(int(r["pid"]), r["obj_id"]) for r in got.collect()}
+        want = self._oracle(pts, polys_pdf.assign(holes_lat=None, holes_lng=None))
+        assert got_set == want
+
+    def test_points_in_polygon_with_holes_xor(self):
+        ext_la, ext_lg = map(np.asarray, self._rect(0.0, 10.0, 0.0, 10.0))
+        h_la, h_lg = map(np.asarray, self._rect(3.0, 7.0, 3.0, 7.0))
+        rng = np.random.default_rng(0)
+        pla, plg = rng.uniform(-1, 11, 3000), rng.uniform(-1, 11, 3000)
+        got = geom.points_in_polygon_with_holes(pla, plg, ext_la, ext_lg, [(h_la, h_lg)])
+        want = self._in_rect(pla, plg, ext_la, ext_lg) & ~self._in_rect(pla, plg, h_la, h_lg)
+        assert (got == want).all()

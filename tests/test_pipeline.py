@@ -565,3 +565,80 @@ class TestTableMaintenance:
             expire_snapshots(root)
         res = expire_snapshots(root, older_than_ts=float("inf"))
         assert res["kept"] == [snapshots(root)[-1]["id"]]
+
+
+class TestInteriorRingRegions:
+    """Round-5: regions with holes through build_tiling and
+    strict_region_assign (independent rectangle-algebra oracles — holes
+    are axis-aligned rects, so convexity makes 'hex fully inside hole'
+    equal 'all 6 vertices inside the rect')."""
+
+    RES = 8
+    EXT_LA = [40.6, 40.6, 41.4, 41.4]
+    EXT_LG = [14.8, 16.2, 16.2, 14.8]
+    HOLE_LA = [40.9, 40.9, 41.1, 41.1]
+    HOLE_LG = [15.3, 15.3 + 0.4, 15.3 + 0.4, 15.3]
+
+    def _regions(self, with_hole):
+        row = {"region_id": "donut", "part": 0,
+               "ring_lat": self.EXT_LA, "ring_lng": self.EXT_LG}
+        if with_hole:
+            row["holes_lat"] = [self.HOLE_LA]
+            row["holes_lng"] = [self.HOLE_LG]
+        return pd.DataFrame([row])
+
+    def test_build_tiling_subtracts_hole_swallowed_cells(self):
+        from hex2vec_spark.hexlib import h3core
+        from hex2vec_spark.operators.spatial import build_tiling
+
+        base = set(build_tiling(self._regions(False), res=self.RES)["h3"])
+        holed = set(build_tiling(self._regions(True), res=self.RES)["h3"])
+        assert holed < base  # strictly smaller: the hole swallows cells
+        removed = np.array(sorted(base - holed), dtype=np.int64).view(np.uint64)
+        kept = np.array(sorted(holed), dtype=np.int64).view(np.uint64)
+        la0, la1 = min(self.HOLE_LA), max(self.HOLE_LA)
+        lg0, lg1 = min(self.HOLE_LG), max(self.HOLE_LG)
+
+        def fully_in_hole(cells):
+            v = h3core.cell_boundary(cells)  # (n, 6, 2)
+            return (
+                (v[:, :, 0] > la0) & (v[:, :, 0] < la1)
+                & (v[:, :, 1] > lg0) & (v[:, :, 1] < lg1)
+            ).all(axis=1)
+
+        assert fully_in_hole(removed).all()      # only swallowed cells removed
+        assert not fully_in_hole(kept).any()     # every swallowed cell removed
+        assert len(removed) > 0
+
+    def test_strict_region_assign_excludes_hole_points(self, spark):
+        from hex2vec_spark.functions.h3_fns import DEFAULT_BBOX
+        from hex2vec_spark.operators.spatial import strict_region_assign
+
+        # invert the geotag convention: phash from (lat, lng)
+        rng = np.random.default_rng(17)
+        n = 3000
+        lat = rng.uniform(40.5, 41.5, n)
+        lng = rng.uniform(14.7, 16.3, n)
+        lat0, lat1, lng0, lng1 = DEFAULT_BBOX
+        lau = np.floor((lat - lat0) / (lat1 - lat0) * 2**32).astype(np.uint64)
+        lgu = np.floor((lng - lng0) / (lng1 - lng0) * 2**32).astype(np.uint64)
+        phash = ((lau << np.uint64(32)) | lgu).view(np.int64)
+        from hex2vec_spark.functions.h3_fns import geotag_np
+        glat, glng = geotag_np(phash)  # quantized coordinates the engine sees
+        joined = spark.createDataFrame(
+            pd.DataFrame({"image_id": np.arange(n), "phash": phash,
+                          "region_id": "donut"})
+        )
+        out = strict_region_assign(joined, self._regions(True), res=self.RES)
+        got = set(out.select("image_id").toPandas()["image_id"])
+        in_ext = (
+            (glat > min(self.EXT_LA)) & (glat < max(self.EXT_LA))
+            & (glng > min(self.EXT_LG)) & (glng < max(self.EXT_LG))
+        )
+        in_hole = (
+            (glat > min(self.HOLE_LA)) & (glat < max(self.HOLE_LA))
+            & (glng > min(self.HOLE_LG)) & (glng < max(self.HOLE_LG))
+        )
+        want = set(np.arange(n)[in_ext & ~in_hole].tolist())
+        assert got == want
+        assert in_hole.sum() > 0  # the hole actually excluded points

@@ -202,3 +202,75 @@ class TestStreamingUpsert:
         out = latest_per_key(df, ["image_id"], "v").collect()
         # tie on v=2 broken by caption desc -> 'b'
         assert len(out) == 1 and out[0]["caption"] == "b"
+
+
+def test_streaming_geofence_with_holes_matches_batch(spark, tmp_path):
+    # round-5: fences with interior rings — streamed hits == batch
+    # pip_join over the same holed fence table
+    from hex2vec_spark.operators.geo_join import pip_join
+    from hex2vec_spark.streaming.ingest import streaming_geofence
+
+    rng = np.random.default_rng(41)
+    n = 500
+    pts_pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lat": rng.uniform(45.0, 46.0, n),
+            "lng": rng.uniform(10.0, 11.0, n),
+        }
+    )
+    fences_pdf = pd.DataFrame(
+        [
+            {
+                "obj_id": "donut",
+                "ring_lat": [45.2, 45.2, 45.8, 45.8],
+                "ring_lng": [10.2, 10.8, 10.8, 10.2],
+                "holes_lat": [[45.4, 45.4, 45.6, 45.6]],
+                "holes_lng": [[10.4, 10.6, 10.6, 10.4]],
+            },
+            {
+                "obj_id": "plain",
+                "ring_lat": [45.0, 45.0, 45.3, 45.3],
+                "ring_lng": [10.0, 10.4, 10.4, 10.0],
+                "holes_lat": None,
+                "holes_lng": None,
+            },
+        ]
+    )
+    fences = spark.createDataFrame(
+        fences_pdf,
+        schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
+               "holes_lat array<array<double>>, holes_lng array<array<double>>",
+    )
+    inp, out, ck = str(tmp_path / "pts"), str(tmp_path / "hits"), str(tmp_path / "ck")
+    _write_chunk(spark, pts_pdf, inp, "c")
+    stream = (
+        spark.readStream.schema("pid bigint, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        streaming_geofence(stream, fences, cell_deg=0.2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("pid", "obj_id").toPandas()
+    want = (
+        pip_join(spark.createDataFrame(pts_pdf), fences, cell_deg=0.2)
+        .select("pid", "obj_id")
+        .toPandas()
+    )
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
+    # the hole excluded at least one point that the exterior contains
+    in_hole = (
+        (pts_pdf["lat"] > 45.4) & (pts_pdf["lat"] < 45.6)
+        & (pts_pdf["lng"] > 10.4) & (pts_pdf["lng"] < 10.6)
+    )
+    assert in_hole.sum() > 0
+    assert not set(pts_pdf.loc[in_hole, "pid"]) & set(
+        got.loc[got["obj_id"] == "donut", "pid"]
+    )
