@@ -2145,6 +2145,38 @@ def _q_distance_pairs(spark, sf_dir):
     )
 
 
+def _q_distance_pairs_broadcast(spark, sf_dir):
+    # round-5 broadcast variant: a dim-sized right side (50 "sites")
+    # joined by radius with broadcast_right=True — the right side
+    # explodes to its candidate buckets and broadcasts, the fact side
+    # never shuffles (BroadcastHashJoin; plan-pinned in
+    # tests/test_geo_join.py::TestBroadcastRight). Same quadratic
+    # haversine oracle shape as distance_pairs.
+    from hex2vec_spark.operators.geo_join import distance_join
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(500)
+        .select(
+            "vec_id",
+            (F.lit(50.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.3).alias("lat"),
+            (F.lit(19.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.45).alias("lng"),
+        )
+    )
+    sites = pts.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("site_id"),
+        F.col("lat").alias("slat"), F.col("lng").alias("slng"),
+    )
+    out = distance_join(
+        pts, sites, 1500.0,
+        right_lat_col="slat", right_lng_col="slng", broadcast_right=True,
+    )
+    return out.select(
+        "vec_id", "site_id", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
 def _q_compact_tiling(spark, sf_dir):
     # per-region compacted tiling cover: every region's res-8 polyfill
     # compacted independently in ONE sweep (group_cols), summarized as
@@ -2317,6 +2349,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": _q_corr_stats,
         "histogram_bins": _q_histogram_bins,
         "distance_pairs": _q_distance_pairs,
+        "distance_pairs_broadcast": _q_distance_pairs_broadcast,
         "knn_join_pairs": _q_knn_join,
         "path_length": _q_path_length,
         "grid_paths": _q_grid_paths,
@@ -3020,6 +3053,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE h.obj_id = q.obj_id AND h.part = q.part
                   AND p.lat > h.la0 AND p.lat < h.la1
                   AND p.lng > h.lg0 AND p.lng < h.lg1)
+        """,
+        "distance_pairs_broadcast": """
+            WITH pts AS (
+                SELECT vec_id,
+                       50.0 + CAST(embedding[1] AS DOUBLE) * 0.3 AS lat,
+                       19.0 + CAST(embedding[2] AS DOUBLE) * 0.45 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 500
+            ), sites AS (
+                SELECT vec_id AS site_id, lat AS slat, lng AS slng
+                FROM pts WHERE vec_id % 10 = 0
+            ), pairs AS (
+                SELECT p.vec_id, s.site_id,
+                       2 * 6371008.8 * ASIN(SQRT(LEAST(1.0,
+                           POW(SIN((RADIANS(s.slat) - RADIANS(p.lat)) / 2), 2)
+                         + COS(RADIANS(p.lat)) * COS(RADIANS(s.slat))
+                           * POW(SIN((RADIANS(s.slng) - RADIANS(p.lng)) / 2), 2)
+                       ))) AS dist
+                FROM pts p JOIN sites s ON TRUE
+            )
+            SELECT vec_id, site_id, ROUND(dist, 3) AS dist_m
+            FROM pairs WHERE dist <= 1500.0
         """,
         "distance_pairs": """
             WITH pts AS (

@@ -147,6 +147,7 @@ def distance_join(
     suffix: str = "_r",
     dist_col: str = "dist_m",
     grid_radius_m: float | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs with haversine distance <= ``radius_m``.
 
@@ -162,7 +163,18 @@ def distance_join(
     ``grid_radius_m`` (>= radius_m) sizes the buckets independently of
     the match radius — coarser buckets trade candidate count for fewer
     groups, useful when the radius is far below the data's point
-    spacing."""
+    spacing.
+
+    ``broadcast_right`` (round 5): for a dimension-sized right side
+    (e.g. 10^4 sites against a 10^12-point fact table) flip the
+    explosion — the RIGHT side explodes to its 3x3 candidate buckets
+    (9x of a small dim is still small) and is broadcast, the left side
+    computes only its single home bucket, and the join is a
+    BroadcastHashJoin: the fact table is NEVER shuffled (plan-pinned in
+    tests). The bucket-width bound is symmetric in the two endpoints
+    (_nbuckets sizes from the worst latitude of band +-1, covering
+    both), so flipping which side explodes preserves recall 1 —
+    asserted equal to the shuffle path in tests."""
     g = float(grid_radius_m if grid_radius_m is not None else radius_m)
     if g < radius_m:
         raise ValueError("grid_radius_m must be >= radius_m")
@@ -187,49 +199,64 @@ def distance_join(
     rlng = right_lng_col or lng_col
     dlat_deg = g / _DEG_M
 
-    # right side: home bucket only
     rcols = [
         F.col(c).alias(c + suffix if c in left.columns else c) for c in right.columns
     ]
     rlat_out = rlat + suffix if rlat in left.columns else rlat
     rlng_out = rlng + suffix if rlng in left.columns else rlng
-    rb = _band(F.col(rlat), dlat_deg)
-    r_bucketed = right.select(
-        *rcols,
-        rb.alias("_band"),
-        _idx(F.col(rlng), _nbuckets(rb, dlat_deg, g)).alias("_idx"),
-    )
+    r = right.select(*rcols)
 
-    # left side: 3 bands x 3 indexes candidate buckets, deduped.
-    # The per-band bucket count (trig) and index are STAGED as real
-    # columns through chained selects before the explode — inlining them
-    # into the generator repeats the asin/cos tree ~18x per row and
-    # measured 25x slower (17.6s vs 0.7s on 5M rows, BENCH/GEOJOIN.md);
-    # CollapseProject keeps the staging because collapsing would
-    # duplicate non-cheap expressions.
-    pre = left.select("*", _band(F.col(lat_col), dlat_deg).alias("_b0"))
-    for j, db in enumerate((-1, 0, 1)):
-        band = F.col("_b0") + F.lit(db)
-        n = _nbuckets(band, dlat_deg, g)
-        pre = pre.select("*", n.alias(f"_n{j}"), _idx(F.col(lng_col), n).alias(f"_i{j}"))
-    cands = [
-        F.struct(
-            (F.col("_b0") + F.lit(db)).alias("b"),
-            F.pmod(F.col(f"_i{j}") + F.lit(di), F.col(f"_n{j}")).alias("i"),
+    def _home(df: DataFrame, la: str, lg: str) -> DataFrame:
+        # single home bucket: one band + one index in that band's width
+        b = _band(F.col(la), dlat_deg)
+        return df.select(
+            "*", b.alias("_band"), _idx(F.col(lg), _nbuckets(b, dlat_deg, g)).alias("_idx")
         )
-        for j, db in enumerate((-1, 0, 1))
-        for di in (-1, 0, 1)
-    ]
-    l_bucketed = pre.select(
-        *left.columns, F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
-    ).select("*", F.col("_cand.b").alias("_band"), F.col("_cand.i").alias("_idx"))
+
+    def _exploded(df: DataFrame, la: str, lg: str) -> DataFrame:
+        # 3 bands x 3 indexes candidate buckets, deduped.
+        # The per-band bucket count (trig) and index are STAGED as real
+        # columns through chained selects before the explode — inlining
+        # them into the generator repeats the asin/cos tree ~18x per row
+        # and measured 25x slower (17.6s vs 0.7s on 5M rows,
+        # BENCH/GEOJOIN.md); CollapseProject keeps the staging because
+        # collapsing would duplicate non-cheap expressions.
+        base = list(df.columns)
+        pre = df.select("*", _band(F.col(la), dlat_deg).alias("_b0"))
+        for j, db in enumerate((-1, 0, 1)):
+            band = F.col("_b0") + F.lit(db)
+            n = _nbuckets(band, dlat_deg, g)
+            pre = pre.select("*", n.alias(f"_n{j}"), _idx(F.col(lg), n).alias(f"_i{j}"))
+        cands = [
+            F.struct(
+                (F.col("_b0") + F.lit(db)).alias("b"),
+                F.pmod(F.col(f"_i{j}") + F.lit(di), F.col(f"_n{j}")).alias("i"),
+            )
+            for j, db in enumerate((-1, 0, 1))
+            for di in (-1, 0, 1)
+        ]
+        return pre.select(
+            *base, F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
+        ).select("*", F.col("_cand.b").alias("_band"), F.col("_cand.i").alias("_idx"))
 
     dist = haversine_m_expr(F.col(lat_col), F.col(lng_col), F.col(rlat_out), F.col(rlng_out))
-    # build the hash relation on the un-exploded right side: sorting the
-    # 9x-exploded left for a merge join is pure overhead at any scale
+    if broadcast_right:
+        # dim-sized right: IT explodes (9x of small is small) and
+        # broadcasts; the fact side computes its home bucket as a pure
+        # projection and is never shuffled (no Exchange on the left —
+        # plan-pinned in tests)
+        joined = _home(left, lat_col, lng_col).join(
+            F.broadcast(_exploded(r, rlat_out, rlng_out)), ["_band", "_idx"], "inner"
+        )
+    else:
+        # build the hash relation on the un-exploded right side: sorting
+        # the 9x-exploded left for a merge join is pure overhead at any
+        # scale
+        joined = _exploded(left, lat_col, lng_col).join(
+            _home(r, rlat_out, rlng_out).hint("shuffle_hash"), ["_band", "_idx"], "inner"
+        )
     return (
-        l_bucketed.join(r_bucketed.hint("shuffle_hash"), ["_band", "_idx"], "inner")
-        .withColumn(dist_col, dist)
+        joined.withColumn(dist_col, dist)
         .where(F.col(dist_col) <= F.lit(float(radius_m)))
         .drop("_cand", "_band", "_idx")
     )
@@ -553,6 +580,7 @@ def knn_join(
     dist_col: str = "dist_m",
     rank_col: str = "knn_rank",
     pair_filter: Column | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Bounded spatial kNN join: for every left row, its ``k`` nearest
     right rows among those within ``max_radius_m`` meters.
@@ -585,6 +613,7 @@ def knn_join(
         right_lng_col=right_lng_col,
         suffix=suffix,
         dist_col=dist_col,
+        broadcast_right=broadcast_right,
     )
     if pair_filter is not None:
         pairs = pairs.where(pair_filter)

@@ -535,3 +535,71 @@ class TestInteriorRings:
         got = geom.points_in_polygon_with_holes(pla, plg, ext_la, ext_lg, [(h_la, h_lg)])
         want = self._in_rect(pla, plg, ext_la, ext_lg) & ~self._in_rect(pla, plg, h_la, h_lg)
         assert (got == want).all()
+
+
+class TestBroadcastRight:
+    """Round-5: broadcast_right flips the explosion onto the dim-sized
+    right side; results must equal the shuffle path exactly and the
+    fact side must not shuffle."""
+
+    def test_equals_shuffle_path(self, spark):
+        pdf = _points(n=600)  # incl. pole caps + antimeridian straddlers
+        left = spark.createDataFrame(pdf)
+        right = spark.createDataFrame(
+            pdf.sample(n=120, random_state=7).rename(
+                columns={"pid": "rid", "lat": "rlat", "lng": "rlng"}
+            )
+        )
+        kw = dict(right_lat_col="rlat", right_lng_col="rlng")
+        for radius in (2_000.0, 300_000.0):
+            a = {
+                (int(r["pid"]), int(r["rid"]), round(r["dist_m"], 6))
+                for r in distance_join(left, right, radius, **kw).collect()
+            }
+            b = {
+                (int(r["pid"]), int(r["rid"]), round(r["dist_m"], 6))
+                for r in distance_join(
+                    left, right, radius, broadcast_right=True, **kw
+                ).collect()
+            }
+            assert a == b and len(a) > 0
+
+    def test_plan_no_shuffle_on_fact_side(self, spark):
+        pdf = _points(n=100)
+        left = spark.createDataFrame(pdf)
+        right = spark.createDataFrame(
+            pdf.iloc[:20].rename(columns={"pid": "rid", "lat": "rlat", "lng": "rlng"})
+        )
+        out = distance_join(
+            left, right, 5_000.0, right_lat_col="rlat", right_lng_col="rlng",
+            broadcast_right=True,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_knn_join_broadcast_equals_shuffle(self, spark):
+        pdf = _points(n=400)
+        left = spark.createDataFrame(pdf)
+        right = spark.createDataFrame(
+            pdf.sample(n=80, random_state=3).rename(
+                columns={"pid": "rid", "lat": "rlat", "lng": "rlng"}
+            )
+        )
+        kw = dict(
+            left_id_cols=["pid"], tiebreak_cols=["rid"],
+            right_lat_col="rlat", right_lng_col="rlng",
+        )
+        a = {
+            (int(r["pid"]), int(r["rid"]), int(r["knn_rank"]))
+            for r in knn_join(left, right, 3, 500_000.0, **kw).collect()
+        }
+        b = {
+            (int(r["pid"]), int(r["rid"]), int(r["knn_rank"]))
+            for r in knn_join(
+                left, right, 3, 500_000.0, broadcast_right=True, **kw
+            ).collect()
+        }
+        assert a == b and len(a) > 0
