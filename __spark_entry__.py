@@ -1202,6 +1202,41 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_knn_join_full(spark, sf_dir):
+    # round-5 full-coverage kNN join (geo_join.knn_join_full): radius-
+    # doubling retries give every left row its TRUE unbounded top-k, so
+    # the oracle is the plain quadratic QUALIFY top-k with NO radius
+    # clause — the strongest possible check of the escape hatch. The
+    # initial radius is deliberately too small (200 m) so several
+    # doubling rounds actually execute at gate time.
+    from hex2vec_spark.operators.geo_join import knn_join_full
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pts = (
+        emb.orderBy("vec_id")
+        .limit(200)
+        .select(
+            "vec_id",
+            (F.lit(50.0) + F.element_at(F.col("embedding"), 1).cast("double") * 0.3).alias("lat"),
+            (F.lit(19.0) + F.element_at(F.col("embedding"), 2).cast("double") * 0.45).alias("lng"),
+        )
+    )
+    right = pts.select(
+        F.col("vec_id").alias("r_id"), F.col("lat").alias("rlat"), F.col("lng").alias("rlng")
+    )
+    out = knn_join_full(
+        pts, right, 3, 200.0,
+        left_id_cols=["vec_id"], tiebreak_cols=["r_id"],
+        right_lat_col="rlat", right_lng_col="rlng",
+        max_doublings=10,  # 200 m * 2^10 ~ 205 km >> the point spread
+        pair_filter=F.col("vec_id") != F.col("r_id"),
+    )
+    return out.select(
+        F.col("vec_id").alias("l_id"), "r_id", "knn_rank",
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
 def _q_destination(spark, sf_dir):
     # inverse geodesy: destination point from (origin, bearing,
     # distance) (operators/geo_join.destination_expr) — term-identical
@@ -2488,6 +2523,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs": _q_distance_pairs,
         "distance_pairs_broadcast": _q_distance_pairs_broadcast,
         "knn_join_pairs": _q_knn_join,
+        "knn_join_full_pairs": _q_knn_join_full,
         "path_length": _q_path_length,
         "grid_paths": _q_grid_paths,
         "hex_density": _q_hex_density,
@@ -3364,6 +3400,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ROUND(SUM(leg) / 1000.0, 3) AS path_km,
                    COUNT(leg) AS n_legs
             FROM legs GROUP BY user_id
+        """,
+        "knn_join_full_pairs": """
+            WITH pts AS (
+                SELECT vec_id,
+                       50.0 + CAST(embedding[1] AS DOUBLE) * 0.3 AS lat,
+                       19.0 + CAST(embedding[2] AS DOUBLE) * 0.45 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 200
+            ), pairs AS (
+                SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+                       2 * 6371008.8 * ASIN(SQRT(LEAST(1.0,
+                           POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
+                         + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                           * POW(SIN((RADIANS(b.lng) - RADIANS(a.lng)) / 2), 2)
+                       ))) AS dist
+                FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT l_id, r_id, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_id ORDER BY dist ASC, r_id ASC
+                       ) AS knn_rank
+                FROM pairs
+            )
+            SELECT l_id, r_id, knn_rank, ROUND(dist, 3) AS dist_m
+            FROM ranked WHERE knn_rank <= 3
         """,
         "knn_join_pairs": """
             WITH pts AS (

@@ -502,11 +502,85 @@ def pip_join(
     )
 
 
+def knn_join_full(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    initial_radius_m: float,
+    left_id_cols: list[str],
+    tiebreak_cols: list[str],
+    max_doublings: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    right_lat_col: str | None = None,
+    right_lng_col: str | None = None,
+    suffix: str = "_r",
+    dist_col: str = "dist_m",
+    rank_col: str = "knn_rank",
+    pair_filter: Column | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Full-coverage spatial kNN join (round 5): ``knn_join`` with an
+    iterative radius-doubling retry for stragglers, so every left row
+    that has ANY right neighbor within ``initial_radius_m * 2 **
+    max_doublings`` gets its true global top-k.
+
+    Why this is exact: if a left row finds >= k neighbors within radius
+    r, its k nearest within r ARE its k nearest globally (anything
+    outside r is farther than the k-th match inside).  Rows with fewer
+    than k matches retry at 2r — only the straggler set re-joins, so
+    the degenerate all-pairs blowup of an unbounded kNN join never
+    happens; the cost is bounded rounds of the same bucket join over a
+    shrinking left side.  On the final round partial results are kept
+    (a row with j < k neighbors in the largest radius returns those j);
+    rows with zero neighbors even then are absent, like ``knn_join``.
+
+    Driver-side loop: one ``isEmpty`` action per round (bounded by
+    ``max_doublings``); per-round frames are localCheckpointed so the
+    anti-join chain never recomputes prior rounds.
+    """
+    if "_nk" in set(left.columns) | set(right.columns):
+        raise ValueError("knn_join_full reserves column name '_nk'")
+    kw = dict(
+        lat_col=lat_col, lng_col=lng_col,
+        right_lat_col=right_lat_col, right_lng_col=right_lng_col,
+        suffix=suffix, dist_col=dist_col, rank_col=rank_col,
+        pair_filter=pair_filter, broadcast_right=broadcast_right,
+    )
+    ids = list(left_id_cols)
+    remaining = left
+    radius = float(initial_radius_m)
+    out = None
+    for rnd in range(max_doublings + 1):
+        res = knn_join(
+            remaining, right, k, radius, left_id_cols, tiebreak_cols, **kw
+        ).localCheckpoint(eager=True)
+        last = rnd == max_doublings
+        if last:
+            done = res
+        else:
+            sat = (
+                res.groupBy(*ids)
+                .agg(F.max(rank_col).alias("_nk"))
+                .where(F.col("_nk") >= k)
+                .select(*ids)
+            )
+            done = res.join(sat, ids, "semi")
+            remaining = remaining.join(sat, ids, "anti").localCheckpoint(eager=True)
+        out = done if out is None else out.unionByName(done)
+        if last or remaining.isEmpty():
+            break
+        radius *= 2.0
+    return out
+
+
 def convex_hull(
     points: DataFrame,
     group_cols: list[str],
     lat_col: str = "lat",
     lng_col: str = "lng",
+    reduce_cell_res: int | None = None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Per-group planar convex hull (Andrew's monotone chain) — the
     spatial extent of each group's points, e.g. a region's footprint
@@ -524,8 +598,37 @@ def convex_hull(
     ``n_points`` and ``hull_area_m2`` (spherical area — exact for the
     convex hull via the centroid fan).  Degenerate groups (1 point,
     collinear sets) return the 1- or 2-vertex hull with area 0.
+
+    Scale controls (round 5): ``reduce_cell_res`` ENFORCES the distinct
+    -cell pre-aggregation the docstring used to merely prescribe —
+    points collapse to their distinct H3 cell CENTERS (canonical, so
+    the hull is deterministic) via a map-side-combined count agg before
+    the group shuffle; only distinct cells reach the chain kernel and
+    ``n_points`` still reports the raw input count (summed weights).
+    The hull of cell centers equals the exact hull to within one cell
+    radius.  ``max_group_rows`` raises inside the kernel when a group
+    exceeds it — the guard against a million-point group silently
+    straggling a task when no reduction was requested.
     """
     keys = list(group_cols)
+    weight_col = None
+    if reduce_cell_res is not None:
+        from ..functions.h3_fns import h3_center, h3_encode_udf
+
+        if "_cell" in points.columns or "_n" in points.columns:
+            raise ValueError("convex_hull reserves column names ['_cell', '_n']")
+        cells = (
+            points.select(
+                *keys,
+                h3_encode_udf(reduce_cell_res)(F.col(lat_col), F.col(lng_col)).alias("_cell"),
+            )
+            .groupBy(*keys, "_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        points = cells.select(
+            *keys, "_n", h3_center(F.col("_cell")).alias("_c")
+        ).select(*keys, "_n", F.col("_c.lat").alias(lat_col), F.col("_c.lng").alias(lng_col))
+        weight_col = "_n"
     prefix = ", ".join(f"`{c}` {points.schema[c].dataType.simpleString()}" for c in keys)
     out_schema = (
         f"{prefix}, hull_lat array<double>, hull_lng array<double>, "
@@ -533,6 +636,13 @@ def convex_hull(
     )
 
     def hull(key, pdf):
+        if max_group_rows is not None and len(pdf) > max_group_rows:
+            raise ValueError(
+                f"convex_hull group {tuple(key)} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}; pass reduce_cell_res to "
+                "pre-aggregate to distinct cell centers"
+            )
+        n_in = int(pdf[weight_col].sum()) if weight_col else len(pdf)
         pts = np.unique(
             np.stack([pdf[lng_col].to_numpy(), pdf[lat_col].to_numpy()], axis=1), axis=0
         )  # sorted lexicographically by (lng, lat), duplicates dropped
@@ -557,7 +667,7 @@ def convex_hull(
         row = {k: key[i] for i, k in enumerate(keys)}
         row.update(
             hull_lat=h[:, 1].tolist(), hull_lng=h[:, 0].tolist(),
-            n_hull=len(h), n_points=len(pdf),
+            n_hull=len(h), n_points=n_in,
             hull_area_m2=geom.spherical_polygon_area_m2(h[:, 1], h[:, 0]),
         )
         return pd.DataFrame([row])

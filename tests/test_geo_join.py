@@ -603,3 +603,95 @@ class TestBroadcastRight:
             ).collect()
         }
         assert a == b and len(a) > 0
+
+
+class TestKnnJoinFull:
+    def test_full_coverage_vs_quadratic_oracle(self, spark):
+        """Radius-doubling retry: every left row gets its TRUE global
+        top-k even when the initial radius misses it (isolated points)."""
+        from hex2vec_spark.operators.geo_join import knn_join_full
+
+        rng = np.random.default_rng(9)
+        # dense cluster + a few isolated points hundreds of km away
+        lat = np.concatenate([rng.uniform(50.0, 50.1, 150), [55.0, -20.0, 52.5]])
+        lng = np.concatenate([rng.uniform(19.0, 19.1, 150), [30.0, 100.0, 25.0]])
+        pdf = pd.DataFrame({"pid": np.arange(len(lat)), "lat": lat, "lng": lng})
+        left = spark.createDataFrame(pdf)
+        right = spark.createDataFrame(
+            pdf.rename(columns={"pid": "rid", "lat": "rlat", "lng": "rlng"})
+        )
+        k = 3
+        got = knn_join_full(
+            left, right, k, 500.0,
+            left_id_cols=["pid"], tiebreak_cols=["rid"],
+            right_lat_col="rlat", right_lng_col="rlng",
+            max_doublings=16,  # 500m * 2^16 = 32,768 km > any geodesic
+            pair_filter=F.col("pid") != F.col("rid"),
+        ).collect()
+        got_set = {(int(r["pid"]), int(r["rid"]), int(r["knn_rank"])) for r in got}
+        # quadratic oracle
+        d = haversine_m(lat[:, None], lng[:, None], lat[None, :], lng[None, :])
+        want = set()
+        for i in range(len(lat)):
+            order = sorted((d[i, j], j) for j in range(len(lat)) if j != i)[:k]
+            for rank, (_, j) in enumerate(order, start=1):
+                want.add((i, j, rank))
+        assert got_set == want
+        # full coverage: every left id present
+        assert {p for p, _, _ in got_set} == set(range(len(lat)))
+
+    def test_partial_results_kept_when_budget_exhausted(self, spark):
+        from hex2vec_spark.operators.geo_join import knn_join_full
+
+        pdf = pd.DataFrame(
+            {"pid": [0, 1, 2], "lat": [50.0, 50.001, 70.0], "lng": [19.0, 19.0, 100.0]}
+        )
+        left = spark.createDataFrame(pdf)
+        right = spark.createDataFrame(
+            pdf.rename(columns={"pid": "rid", "lat": "rlat", "lng": "rlng"})
+        )
+        got = knn_join_full(
+            left, right, 2, 1000.0,
+            left_id_cols=["pid"], tiebreak_cols=["rid"],
+            right_lat_col="rlat", right_lng_col="rlng",
+            max_doublings=2,  # max radius 4 km: pid 2 stays isolated
+            pair_filter=F.col("pid") != F.col("rid"),
+        ).toPandas()
+        # pids 0/1 found each other (1 neighbor each, k=2 -> partial kept)
+        assert set(got["pid"]) == {0, 1}
+        assert len(got) == 2
+
+
+class TestConvexHullScale:
+    def test_reduce_cell_res_million_points_and_guard(self, spark):
+        """A 10^6-point group hulls in seconds via the enforced
+        distinct-cell reduction; without it max_group_rows raises."""
+        import time
+        from hex2vec_spark.operators.geo_join import convex_hull
+
+        rng = np.random.default_rng(2)
+        n = 1_000_000
+        pdf = pd.DataFrame({
+            "g": np.zeros(n, dtype=np.int64),
+            "lat": rng.uniform(41.0, 41.5, n),
+            "lng": rng.uniform(15.0, 15.5, n),
+        })
+        sdf = spark.createDataFrame(pdf)
+        t0 = time.perf_counter()
+        out = convex_hull(sdf, ["g"], reduce_cell_res=7).collect()
+        dt = time.perf_counter() - t0
+        assert len(out) == 1
+        row = out[0]
+        assert row["n_points"] == n  # weights preserve the raw count
+        assert row["n_hull"] >= 3 and row["hull_area_m2"] > 0
+        assert dt < 60.0
+        # hull of cell centers contains ~the same extent: area within
+        # one res-7 cell radius band of the exact bbox-ish area
+        # (loose sanity: within 20% of the no-reduction hull on a sample)
+        small = convex_hull(
+            spark.createDataFrame(pdf.iloc[:20000]), ["g"]
+        ).collect()[0]
+        assert abs(row["hull_area_m2"] - small["hull_area_m2"]) / small["hull_area_m2"] < 0.2
+
+        with pytest.raises(Exception, match="max_group_rows"):
+            convex_hull(sdf, ["g"], max_group_rows=10_000).collect()
