@@ -116,6 +116,48 @@ def h3_cover_udf(res: int = DEFAULT_RES):
     return _udf
 
 
+def h3_cover_holes_udf(res: int = DEFAULT_RES):
+    """(ring_lat, ring_lng, holes_lat, holes_lng) -> array<long> of
+    cells intersecting (exterior minus holes) — the round-5 hole-aware
+    variant of :func:`h3_cover_udf`: same batched exterior cover, then
+    cells a hole fully swallows (hexlib.geom.hexes_inside_ring — all
+    vertices inside + no edge crossing) are subtracted per polygon;
+    cells crossing a hole boundary still intersect the polygon. Hole
+    columns are ``array<array<double>>``; null -> hole-free."""
+    from ..hexlib import geom
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(
+        ring_lat: pd.Series, ring_lng: pd.Series,
+        holes_lat: pd.Series, holes_lng: pd.Series,
+    ) -> pd.Series:
+        if not len(ring_lat):
+            return pd.Series([], dtype=object)
+        poly_idx, cells = h3core.cover_intersect_batch(
+            ring_lat.to_list(), ring_lng.to_list(), res, pad_cells=1.0
+        )
+        counts = np.bincount(poly_idx, minlength=len(ring_lat))
+        splits = np.split(cells, np.cumsum(counts)[:-1])
+        out = []
+        for i, cs in enumerate(splits):
+            hl, hg = holes_lat.iloc[i], holes_lng.iloc[i]
+            if hl is not None and hg is not None and len(hl) and len(cs):
+                cs_u = np.asarray(cs, dtype=np.uint64)
+                verts = h3core.cell_boundary(cs_u)
+                keep = np.ones(len(cs_u), dtype=bool)
+                for a, b in zip(hl, hg):
+                    keep &= ~geom.hexes_inside_ring(
+                        verts[:, :, 0], verts[:, :, 1],
+                        np.asarray(a, dtype=np.float64),
+                        np.asarray(b, dtype=np.float64),
+                    )
+                cs = cs_u[keep]
+            out.append(np.asarray(cs).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
 def h3_polyfill_udf(res: int = DEFAULT_RES):
     """(ring_lat, ring_lng) polygon -> array<long> of cells whose center
     is inside (h3.polyfill semantics, make_dataset.py:41)."""

@@ -377,12 +377,22 @@ def polygon_spatial_join(
 
     No geometric test in the join itself; the polygon work happens once
     per object on the fact side (map-side, no shuffle), so the shape
-    scales like the point path."""
-    from ..functions.h3_fns import h3_cover_udf
+    scales like the point path.
 
-    cover = objects.withColumn(
-        "h3", F.explode(h3_cover_udf(res)(F.col("ring_lat"), F.col("ring_lng")))
-    )
+    Interior rings (round 5): objects carrying ``holes_lat``/
+    ``holes_lng`` (``array<array<double>>``) cover to cells
+    intersecting (exterior minus holes) — hole-swallowed cells drop,
+    boundary-crossing cells stay (h3_cover_holes_udf)."""
+    from ..functions.h3_fns import h3_cover_holes_udf, h3_cover_udf
+
+    if "holes_lat" in objects.columns and "holes_lng" in objects.columns:
+        cover_col = h3_cover_holes_udf(res)(
+            F.col("ring_lat"), F.col("ring_lng"),
+            F.col("holes_lat"), F.col("holes_lng"),
+        )
+    else:
+        cover_col = h3_cover_udf(res)(F.col("ring_lat"), F.col("ring_lng"))
+    cover = objects.withColumn("h3", F.explode(cover_col))
     return cover.join(F.broadcast(tiling_sdf), "h3", how)
 
 

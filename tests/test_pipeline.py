@@ -642,3 +642,45 @@ class TestInteriorRingRegions:
         want = set(np.arange(n)[in_ext & ~in_hole].tolist())
         assert got == want
         assert in_hole.sum() > 0  # the hole actually excluded points
+
+    def test_polygon_spatial_join_with_holes(self, spark):
+        """Object polygons with holes cover to (exterior minus holes):
+        hole-swallowed cells drop, the rest matches the plain cover."""
+        from hex2vec_spark.functions.h3_fns import h3_cover_holes_udf, h3_cover_udf
+        from hex2vec_spark.hexlib import h3core
+        import pyspark.sql.functions as F
+
+        obj = pd.DataFrame([{
+            "obj_id": "donut",
+            "ring_lat": self.EXT_LA, "ring_lng": self.EXT_LG,
+            "holes_lat": [self.HOLE_LA], "holes_lng": [self.HOLE_LG],
+        }])
+        sdf = spark.createDataFrame(
+            obj,
+            schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
+                   "holes_lat array<array<double>>, holes_lng array<array<double>>",
+        )
+        plain = set(
+            sdf.select(F.explode(h3_cover_udf(self.RES)(
+                F.col("ring_lat"), F.col("ring_lng"))).alias("h3")).toPandas()["h3"]
+        )
+        holed = set(
+            sdf.select(F.explode(h3_cover_holes_udf(self.RES)(
+                F.col("ring_lat"), F.col("ring_lng"),
+                F.col("holes_lat"), F.col("holes_lng"))).alias("h3")).toPandas()["h3"]
+        )
+        assert holed < plain
+        removed = np.array(sorted(plain - holed), dtype=np.int64).view(np.uint64)
+        kept = np.array(sorted(holed), dtype=np.int64).view(np.uint64)
+        la0, la1 = min(self.HOLE_LA), max(self.HOLE_LA)
+        lg0, lg1 = min(self.HOLE_LG), max(self.HOLE_LG)
+
+        def fully_in_hole(cells):
+            v = h3core.cell_boundary(cells)
+            return (
+                (v[:, :, 0] > la0) & (v[:, :, 0] < la1)
+                & (v[:, :, 1] > lg0) & (v[:, :, 1] < lg1)
+            ).all(axis=1)
+
+        assert fully_in_hole(removed).all() and not fully_in_hole(kept).any()
+        assert len(removed) > 0
