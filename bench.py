@@ -139,6 +139,7 @@ def main() -> int:
             "topk", "per_group_topk", "self_join", "knn_bruteforce",
             "dedup_exact", "hex_features", "context_pairs", "tile_hex_bins",
             "polygon_assign", "distance_pairs", "knn_join_pairs", "path_length",
+            "distance_pairs_broadcast", "pip_join_holes",  # round 5
         ]
         # two passes per query: report the min as the headline number
         # (comparable across rounds) and keep both so the spread is

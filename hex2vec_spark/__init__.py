@@ -30,6 +30,7 @@ def __getattr__(name):
         "neighborhood_smooth": "operators.neighbors",
         "run_upsert_available_now": "streaming.ingest",
         "streaming_geofence": "streaming.ingest",
+        "streaming_proximity": "streaming.ingest",
         "cosine_topk": "operators.knn",
         "build_ivf_index": "operators.knn",
         "query_ivf_index": "operators.knn",
@@ -38,11 +39,13 @@ def __getattr__(name):
         "rasterize_hex": "operators.raster",
         "haversine_m_expr": "operators.geo_join",
         "knn_join": "operators.geo_join",
+        "knn_join_full": "operators.geo_join",
         "bearing_deg_expr": "operators.geo_join",
         "convex_hull": "operators.geo_join",
         "destination_expr": "operators.geo_join",
         "spherical_polygon_area_m2": "hexlib.geom",
         "pip_join": "operators.geo_join",
+        "points_in_polygon_with_holes": "hexlib.geom",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",
         "asof_join": "operators.asof",

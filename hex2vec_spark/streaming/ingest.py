@@ -179,6 +179,47 @@ def streaming_geofence(
     ).drop("_rla", "_rlg", "_hla", "_hlg")
 
 
+def streaming_proximity(
+    points_stream: DataFrame,
+    sites_sdf: DataFrame,
+    radius_m: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    site_lat_col: str = "slat",
+    site_lng_col: str = "slng",
+    suffix: str = "_r",
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """Streaming proximity alerts (round 5): every streamed point within
+    ``radius_m`` meters of a static site — the radius-join face of the
+    geofence, and the streaming face of ``geo_join.distance_join``.
+
+    This is ``distance_join(broadcast_right=True)`` applied verbatim to
+    a stream: the static site table explodes to its 3x3 candidate
+    buckets and broadcasts, the streamed point computes its single home
+    bucket as pure projections (streaming-safe — no window, no state,
+    no watermark), and the exact haversine verify is a JVM expression.
+    Exactness (recall 1 / precision 1) is the batch operator's
+    closed-form guarantee; stream == batch is pinned in
+    tests/test_streaming.py.  Per-micro-batch cost is one broadcast
+    probe per point — throughput scales with executor count like any
+    stateless map."""
+    from ..operators.geo_join import distance_join
+
+    return distance_join(
+        points_stream,
+        sites_sdf,
+        radius_m,
+        lat_col=lat_col,
+        lng_col=lng_col,
+        right_lat_col=site_lat_col,
+        right_lng_col=site_lng_col,
+        suffix=suffix,
+        dist_col=dist_col,
+        broadcast_right=True,
+    )
+
+
 def stateful_streaming_dedup(
     images_stream: DataFrame, key_col: str = "caption"
 ) -> DataFrame:

@@ -274,3 +274,58 @@ def test_streaming_geofence_with_holes_matches_batch(spark, tmp_path):
     assert not set(pts_pdf.loc[in_hole, "pid"]) & set(
         got.loc[got["obj_id"] == "donut", "pid"]
     )
+
+
+def test_streaming_proximity_matches_batch_distance_join(spark, tmp_path):
+    # round-5: stateless stream-static radius join (broadcast_right on a
+    # stream) == batch distance_join over the same tables, two drops +
+    # checkpoint resume
+    from hex2vec_spark.operators.geo_join import distance_join
+    from hex2vec_spark.streaming.ingest import streaming_proximity
+
+    rng = np.random.default_rng(53)
+    n = 500
+    pts_pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lat": rng.uniform(45.0, 45.5, n),
+            "lng": rng.uniform(10.0, 10.5, n),
+        }
+    )
+    sites_pdf = pd.DataFrame(
+        {
+            "site_id": np.arange(30),
+            "slat": rng.uniform(45.0, 45.5, 30),
+            "slng": rng.uniform(10.0, 10.5, 30),
+        }
+    )
+    sites = spark.createDataFrame(sites_pdf)
+    inp, out, ck = str(tmp_path / "pts"), str(tmp_path / "hits"), str(tmp_path / "ck")
+    for chunk in (pts_pdf.iloc[:250], pts_pdf.iloc[250:]):
+        _write_chunk(spark, chunk, inp, "c")
+        stream = (
+            spark.readStream.schema("pid bigint, lat double, lng double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        q = (
+            streaming_proximity(stream, sites, 2000.0)
+            .select("pid", "site_id", F.round("dist_m", 6).alias("d"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    want = (
+        distance_join(
+            spark.createDataFrame(pts_pdf), sites, 2000.0,
+            right_lat_col="slat", right_lng_col="slng", broadcast_right=True,
+        )
+        .select("pid", "site_id", F.round("dist_m", 6).alias("d"))
+        .toPandas()
+    )
+    assert sorted(map(tuple, got.values)) == sorted(map(tuple, want.values))
+    assert len(want) > 0
