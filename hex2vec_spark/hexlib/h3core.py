@@ -822,16 +822,23 @@ def cover_intersect_batch(
     return p_u[hit], c_u[hit]
 
 
-def polyfill(ring_lat: np.ndarray, ring_lng: np.ndarray, res: int) -> np.ndarray:
+def polyfill(
+    ring_lat: np.ndarray, ring_lng: np.ndarray, res: int, holes=()
+) -> np.ndarray:
     """All cells whose center lies inside the polygon (h3.polyfill
     semantics; make_dataset.py:41). Vectorized grid-sample + re-encode,
-    then keep cells whose center passes point-in-polygon."""
-    from .geom import points_in_polygon
+    then keep cells whose center passes point-in-polygon.  ``holes``
+    (round 5): optional list of (hole_lat, hole_lng) interior rings —
+    centers inside a hole are excluded (even-odd, same as h3.polyfill
+    on a GeoJSON polygon with interior rings)."""
+    from .geom import points_in_polygon_with_holes
 
     cells = cells_covering_bbox(ring_lat, ring_lng, res, pad_cells=1.0)
     clat, clng = cell_center(cells)
-    inside = points_in_polygon(
-        clat, clng, np.asarray(ring_lat, dtype=np.float64), np.asarray(ring_lng, dtype=np.float64)
+    inside = points_in_polygon_with_holes(
+        clat, clng,
+        np.asarray(ring_lat, dtype=np.float64), np.asarray(ring_lng, dtype=np.float64),
+        holes,
     )
     return cells[inside]
 

@@ -406,3 +406,20 @@ class TestGridPathResolutionGuard:
             h3.grid_path(mixed, b)
         with pytest.raises(ValueError, match="one resolution"):
             h3.grid_path(a, np.array([b[0], h3.encode(np.array([41.01]), np.array([15.0]), 9)[0]]))
+
+
+class TestPolyfillHoles:
+    def test_hole_centers_excluded(self):
+        ext_la = np.array([40.6, 40.6, 41.4, 41.4])
+        ext_lg = np.array([14.8, 16.2, 16.2, 14.8])
+        h_la = np.array([40.9, 40.9, 41.1, 41.1])
+        h_lg = np.array([15.3, 15.7, 15.7, 15.3])
+        base = set(h3.polyfill(ext_la, ext_lg, 7).tolist())
+        holed = set(h3.polyfill(ext_la, ext_lg, 7, holes=[(h_la, h_lg)]).tolist())
+        assert holed < base
+        removed = np.array(sorted(base - holed), dtype=np.uint64)
+        clat, clng = h3.cell_center(removed)
+        # exactly the cells whose center is in the hole rect are removed
+        assert ((clat > 40.9) & (clat < 41.1) & (clng > 15.3) & (clng < 15.7)).all()
+        kla, klg = h3.cell_center(np.array(sorted(holed), dtype=np.uint64))
+        assert not ((kla > 40.9) & (kla < 41.1) & (klg > 15.3) & (klg < 15.7)).any()
