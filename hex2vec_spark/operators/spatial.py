@@ -402,35 +402,53 @@ def strict_region_assign(
     """Optional strict point-in-polygon refine (north_star's PIP
     assignment): keeps only rows whose geotag point is inside the region
     polygon itself (not just inside an intersecting boundary hex).
-    Vectorized PIP against broadcast region rings.
 
     Interior rings (round 5): region rows may carry ``holes_lat``/
     ``holes_lng`` (list of rings) — a point inside a hole is NOT in the
-    region part (even-odd over exterior + holes,
-    geom.points_in_polygon_with_holes); MultiPolygon parts (several
-    rows per region) keep union semantics."""
-    rings: dict[str, list] = {}
+    region part (even-odd over exterior + holes); MultiPolygon parts
+    (several rows per region) keep union semantics.
+
+    Round-5 physical strategy: PURE JVM — the region parts collapse to
+    one broadcast row per region (array of ring structs), the geotag
+    decodes from phash with the exact integer/double SQL convention
+    (h3_expr._phash_latlng_sql, bit-identical to geotag_np), and the
+    ray cast is the Catalyst expression twin of the NumPy kernel
+    (functions/geo_expr — bit-identical predicates, pinned). The old
+    Arrow pandas-UDF PIP is gone: no Python worker beside any task of
+    the strict refine (plan-pinned in test_plans)."""
+    from ..functions import h3_expr
+    from ..functions.geo_expr import point_in_polygon_with_holes_expr
+    from ..functions.h3_fns import DEFAULT_BBOX
+
+    rows = []
     for _, row in regions_pdf.iterrows():
-        rings.setdefault(row["region_id"], []).append(
-            (
-                np.asarray(row["ring_lat"]),
-                np.asarray(row["ring_lng"]),
-                _row_holes(row),
-            )
+        holes = _row_holes(row)
+        rows.append((
+            str(row["region_id"]),
+            [float(x) for x in row["ring_lat"]],
+            [float(x) for x in row["ring_lng"]],
+            [[float(x) for x in a] for a, _ in holes] if holes else None,
+            [[float(x) for x in b] for _, b in holes] if holes else None,
+        ))
+    parts = (
+        joined.sparkSession.createDataFrame(
+            rows,
+            schema="region_id string, _rla array<double>, _rlg array<double>, "
+                   "_hla array<array<double>>, _hlg array<array<double>>",
         )
-
-    @F.pandas_udf("boolean")
-    def _pip(phash: pd.Series, region_id: pd.Series) -> pd.Series:
-        from ..functions.h3_fns import geotag_np
-
-        lat, lng = geotag_np(phash.to_numpy())
-        out = np.zeros(len(phash), dtype=bool)
-        for rid in region_id.unique():
-            m = (region_id == rid).to_numpy()
-            for ring_lat, ring_lng, holes in rings.get(rid, []):
-                out[m] |= geom.points_in_polygon_with_holes(
-                    lat[m], lng[m], ring_lat, ring_lng, holes
-                )
-        return pd.Series(out)
-
-    return joined.where(_pip(F.col("phash"), F.col("region_id")))
+        .groupBy("region_id")
+        .agg(F.collect_list(F.struct("_rla", "_rlg", "_hla", "_hlg")).alias("_parts"))
+    )
+    lat_sql, lng_sql = h3_expr._phash_latlng_sql(DEFAULT_BBOX)
+    lat, lng = F.expr(lat_sql), F.expr(lng_sql)
+    inside_any = F.exists(
+        F.col("_parts"),
+        lambda p: point_in_polygon_with_holes_expr(
+            lat, lng, p["_rla"], p["_rlg"], p["_hla"], p["_hlg"]
+        ),
+    )
+    return (
+        joined.join(F.broadcast(parts), "region_id", "inner")
+        .where(inside_any)
+        .drop("_parts")
+    )

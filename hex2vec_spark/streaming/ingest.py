@@ -137,42 +137,22 @@ def streaming_geofence(
         broadcast_polys=True,
     )
 
-    def _ring_key(rla, rlg, hla, hlg):
-        k = np.asarray(rla).tobytes() + np.asarray(rlg).tobytes()
-        if hla is not None and hlg is not None:
-            for a, b in zip(hla, hlg):
-                k += b"|" + np.asarray(a).tobytes() + np.asarray(b).tobytes()
-        return k
-
-    @F.pandas_udf("boolean")
-    def _pip_pair(
-        lat: pd.Series, lng: pd.Series, rla: pd.Series, rlg: pd.Series,
-        hla: pd.Series, hlg: pd.Series,
-    ) -> pd.Series:
-        la, lg = lat.to_numpy(), lng.to_numpy()
-        out = np.zeros(len(la), dtype=bool)
-        key = pd.Series(
-            [_ring_key(a, b, c, d) for a, b, c, d in zip(rla, rlg, hla, hlg)]
-        )
-        for _, idx in key.groupby(key).groups.items():
-            ii = np.asarray(idx)
-            h0la, h0lg = hla.iloc[ii[0]], hlg.iloc[ii[0]]
-            holes = list(zip(h0la, h0lg)) if h0la is not None and h0lg is not None else []
-            out[ii] = geom.points_in_polygon_with_holes(
-                la[ii], lg[ii],
-                np.asarray(rla.iloc[ii[0]], dtype=np.float64),
-                np.asarray(rlg.iloc[ii[0]], dtype=np.float64),
-                holes,
-            )
-        return pd.Series(out)
-
     # NO dropDuplicates here: on a stream it would allocate unbounded
     # dedup state. Each point meets each fence RING at most once (single
     # home bucket); only multi-ring fences can emit one row per
     # containing ring — acceptable geofence semantics, dedupe downstream
     # per micro-batch if needed.
+    #
+    # The verify is the PURE-JVM ray-cast expression (round 5,
+    # functions/geo_expr — bit-identical predicates to the NumPy
+    # kernel): the whole geofence plan is now projections + one
+    # broadcast join + codegen filters, with NO Python worker in the
+    # micro-batch path (the previous Arrow _pip_pair UDF shipped ring
+    # arrays through a Python worker per batch).
+    from ..functions.geo_expr import point_in_polygon_with_holes_expr
+
     return cand.where(
-        _pip_pair(
+        point_in_polygon_with_holes_expr(
             F.col(lat_col), F.col(lng_col),
             F.col("_rla"), F.col("_rlg"), F.col("_hla"), F.col("_hlg"),
         )

@@ -695,3 +695,90 @@ class TestConvexHullScale:
 
         with pytest.raises(Exception, match="max_group_rows"):
             convex_hull(sdf, ["g"], max_group_rows=10_000).collect()
+
+
+class TestPipExpr:
+    """Round-5 JVM PIP expressions: bit-identical predicates vs the
+    NumPy ray-cast kernel on randomized rings and points."""
+
+    def test_single_ring_matches_numpy_kernel(self, spark):
+        from hex2vec_spark.functions.geo_expr import point_in_ring_expr
+
+        rng = np.random.default_rng(23)
+        rows = []
+        for r in range(20):  # irregular star-convex rings, 5-12 vertices
+            nv = rng.integers(5, 13)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.2, 1.0, nv)
+            c_la, c_lg = rng.uniform(-60, 60), rng.uniform(-170, 170)
+            rla = (c_la + rad * np.sin(ang)).tolist()
+            rlg = (c_lg + rad * np.cos(ang)).tolist()
+            for _ in range(50):
+                la = c_la + rng.uniform(-1.2, 1.2)
+                lg = c_lg + rng.uniform(-1.2, 1.2)
+                rows.append((la, lg, rla, rlg))
+        pdf = pd.DataFrame(rows, columns=["lat", "lng", "rla", "rlg"])
+        sdf = spark.createDataFrame(pdf)
+        got = (
+            sdf.select(
+                point_in_ring_expr(
+                    F.col("lat"), F.col("lng"), F.col("rla"), F.col("rlg")
+                ).alias("inside")
+            )
+            .toPandas()["inside"]
+            .to_numpy()
+        )
+        want = np.array([
+            geom.points_in_polygon(
+                np.array([r.lat]), np.array([r.lng]),
+                np.array(r.rla), np.array(r.rlg),
+            )[0]
+            for r in pdf.itertuples()
+        ])
+        assert (got == want).all()
+        assert want.any() and not want.all()  # both classes exercised
+
+    def test_holes_expr_matches_numpy_kernel(self, spark):
+        from hex2vec_spark.functions.geo_expr import point_in_polygon_with_holes_expr
+
+        rng = np.random.default_rng(29)
+        ext_la = [0.0, 0.0, 10.0, 10.0]
+        ext_lg = [0.0, 10.0, 10.0, 0.0]
+        h1 = ([2.0, 2.0, 4.0, 4.0], [2.0, 4.0, 4.0, 2.0])
+        h2 = ([6.0, 6.0, 8.5, 8.5], [5.0, 9.0, 9.0, 5.0])
+        pts = pd.DataFrame({
+            "lat": rng.uniform(-1, 11, 800), "lng": rng.uniform(-1, 11, 800),
+        })
+        cases = [
+            (None, None),                             # hole-free
+            ([h1[0]], [h1[1]]),                       # one hole
+            ([h1[0], h2[0]], [h1[1], h2[1]]),         # two holes
+        ]
+        for hla, hlg in cases:
+            pdf = pts.assign(
+                rla=[ext_la] * len(pts), rlg=[ext_lg] * len(pts),
+                hla=[hla] * len(pts), hlg=[hlg] * len(pts),
+            )
+            sdf = spark.createDataFrame(
+                pdf,
+                schema="lat double, lng double, rla array<double>, "
+                       "rlg array<double>, hla array<array<double>>, "
+                       "hlg array<array<double>>",
+            )
+            got = (
+                sdf.select(
+                    point_in_polygon_with_holes_expr(
+                        F.col("lat"), F.col("lng"), F.col("rla"), F.col("rlg"),
+                        F.col("hla"), F.col("hlg"),
+                    ).alias("inside")
+                )
+                .toPandas()["inside"]
+                .to_numpy()
+            )
+            holes = list(zip(hla, hlg)) if hla else []
+            want = geom.points_in_polygon_with_holes(
+                pts["lat"].to_numpy(), pts["lng"].to_numpy(),
+                np.array(ext_la), np.array(ext_lg),
+                [(np.array(a), np.array(b)) for a, b in holes],
+            )
+            assert (got == want).all()

@@ -356,3 +356,21 @@ class TestWritePathAllJvm:
             back["h3"].to_numpy().view(np.uint64), 4
         ).view(np.int64)
         assert (back["h3_p4"].to_numpy() == want).all()
+
+
+class TestStrictPipAllJvm:
+    def test_strict_region_assign_has_no_python_eval(self, spark):
+        """Round-5: the strict PIP refine is pure Catalyst (broadcast
+        parts + JVM ray-cast expression) — no Arrow/Batch Python nodes."""
+        from hex2vec_spark.operators.spatial import (
+            assign_h3, strict_region_assign, tiling_table,
+        )
+        from hex2vec_spark.sources.synth import images_table, regions_pandas
+
+        joined = assign_h3(images_table(spark, 300), res=8).join(
+            tiling_table(spark, 8), "h3", "inner"
+        )
+        out = strict_region_assign(joined, regions_pandas(), res=8)
+        plan = plan_of(out)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
