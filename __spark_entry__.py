@@ -1408,7 +1408,7 @@ def _q_pip_join(spark, sf_dir):
     return pip_join(pts, polys, cell_deg=0.05).select("vec_id", "obj_id")
 
 
-def _q_pip_join_holes(spark, sf_dir):
+def _q_pip_join_holes(spark, sf_dir, op=None):
     # round-5: pip_join over polygons WITH interior rings (geo_join.
     # pip_join holes_lat/holes_lng; even-odd over exterior + holes,
     # hexlib.geom.points_in_polygon_with_holes — the reference's sjoin
@@ -1453,7 +1453,19 @@ def _q_pip_join_holes(spark, sf_dir):
         schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
                "holes_lat array<array<double>>, holes_lng array<array<double>>",
     )
-    return pip_join(pts, polys, cell_deg=0.3).select("vec_id", "obj_id")
+    if op is None:
+        op = pip_join
+    return op(pts, polys, cell_deg=0.3).select("vec_id", "obj_id")
+
+
+def _q_pip_join_broadcast(spark, sf_dir):
+    # round-5 all-JVM broadcast PIP join (geo_join.pip_join_broadcast):
+    # same holed fixture and DuckDB oracle as pip_join_holes, but
+    # through the broadcast plan (no point shuffle, no Python worker —
+    # plan-pinned in tests/test_geo_join.py::TestPipJoinBroadcast).
+    from hex2vec_spark.operators.geo_join import pip_join_broadcast
+
+    return _q_pip_join_holes(spark, sf_dir, op=pip_join_broadcast)
 
 
 def _q_rasterize_regions(spark, sf_dir):
@@ -2532,6 +2544,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_hulls": _q_region_hulls,
         "pip_join_assign": _q_pip_join,
         "pip_join_holes": _q_pip_join_holes,
+        "pip_join_broadcast": _q_pip_join_broadcast,
         "rasterize_regions": _q_rasterize_regions,
         "compact_tiling": _q_compact_tiling,
         "neighborhood_smooth": _q_neighborhood_smooth,
@@ -3266,6 +3279,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY bucket
         """,
         "pip_join_holes": """
+            WITH pts AS (
+                SELECT vec_id,
+                       41.0 + CAST(embedding[1] AS DOUBLE) * 2.5 AS lat,
+                       15.5 + CAST(embedding[2] AS DOUBLE) * 3.75 AS lng
+                FROM embeddings ORDER BY vec_id LIMIT 500
+            ), parts(obj_id, part, la0, la1, lg0, lg1) AS (VALUES
+                ('A', 0, 40.02, 41.03, 15.01, 16.04),
+                ('B', 0, 41.21, 42.23, 15.02, 16.01),
+                ('C', 0, 40.03, 41.01, 16.21, 17.23),
+                ('D', 0, 41.22, 41.63, 16.22, 16.81),
+                ('D', 1, 41.81, 42.21, 16.23, 16.82)
+            ), holes(obj_id, part, la0, la1, lg0, lg1) AS (VALUES
+                ('A', 0, 40.31, 40.72, 15.33, 15.71),
+                ('B', 0, 41.32, 41.51, 15.11, 15.42),
+                ('B', 0, 41.81, 42.02, 15.61, 15.92),
+                ('D', 0, 41.31, 41.42, 16.41, 16.62)
+            )
+            SELECT DISTINCT p.vec_id, q.obj_id
+            FROM pts p JOIN parts q
+              ON p.lat > q.la0 AND p.lat < q.la1
+             AND p.lng > q.lg0 AND p.lng < q.lg1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM holes h
+                WHERE h.obj_id = q.obj_id AND h.part = q.part
+                  AND p.lat > h.la0 AND p.lat < h.la1
+                  AND p.lng > h.lg0 AND p.lng < h.lg1)
+        """,
+        "pip_join_broadcast": """
             WITH pts AS (
                 SELECT vec_id,
                        41.0 + CAST(embedding[1] AS DOUBLE) * 2.5 AS lat,

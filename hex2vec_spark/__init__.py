@@ -45,6 +45,7 @@ def __getattr__(name):
         "destination_expr": "operators.geo_join",
         "spherical_polygon_area_m2": "hexlib.geom",
         "pip_join": "operators.geo_join",
+        "pip_join_broadcast": "operators.geo_join",
         "points_in_polygon_with_holes": "hexlib.geom",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",

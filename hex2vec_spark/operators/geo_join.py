@@ -574,6 +574,71 @@ def knn_join_full(
     return out
 
 
+def pip_join_broadcast(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_deg: float = 0.05,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    poly_id_col: str = "obj_id",
+    ring_lat_col: str = "ring_lat",
+    ring_lng_col: str = "ring_lng",
+    holes_lat_col: str = "holes_lat",
+    holes_lng_col: str = "holes_lng",
+    dedupe_parts: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join for a DIM-SIZED polygon side (round 5):
+    the all-JVM broadcast twin of :func:`pip_join`, sharing its grid
+    candidate stage but replacing the cogrouped Arrow verify with the
+    Catalyst ray-cast expression (functions/geo_expr).
+
+    Plan: fences explode to their bbox buckets WITH ring (and hole)
+    arrays attached and broadcast; points compute one home bucket as a
+    pure projection; one BroadcastHashJoin; the JVM bbox prefilter and
+    the even-odd expression do the rest — the point table is never
+    shuffled and NO Python worker runs anywhere (plan-pinned). This is
+    exactly ``streaming_geofence``'s plan, exposed for batch (the
+    streaming operator delegates here), plus an optional
+    ``dedupe_parts`` dropDuplicates so MultiPolygon parts emit one row
+    per (point, polygon id) like ``pip_join`` — pass False to keep the
+    exchange-free per-ring row semantics.
+
+    Use :func:`pip_join` when the polygon side is itself fact-sized
+    (too big to broadcast); results agree (asserted in tests).
+    Same antimeridian and distinct-row caveats as pip_join."""
+    if poly_id_col in points.columns:
+        raise ValueError(
+            f"pip_join_broadcast output column {poly_id_col!r} already exists in points"
+        )
+    from ..functions.geo_expr import point_in_polygon_with_holes_expr
+
+    has_holes = (
+        holes_lat_col in polygons.columns and holes_lng_col in polygons.columns
+    )
+    null_rings = F.lit(None).cast("array<array<double>>")
+    cand = _bbox_bucket_candidates(
+        points, polygons, cell_deg, lat_col, lng_col,
+        ring_lat_col, ring_lng_col,
+        carry={
+            poly_id_col: F.col(poly_id_col),
+            "_rla": F.col(ring_lat_col),
+            "_rlg": F.col(ring_lng_col),
+            "_hla": F.col(holes_lat_col) if has_holes else null_rings,
+            "_hlg": F.col(holes_lng_col) if has_holes else null_rings,
+        },
+        broadcast_polys=True,
+    )
+    out = cand.where(
+        point_in_polygon_with_holes_expr(
+            F.col(lat_col), F.col(lng_col),
+            F.col("_rla"), F.col("_rlg"), F.col("_hla"), F.col("_hlg"),
+        )
+    ).drop("_rla", "_rlg", "_hla", "_hlg")
+    if dedupe_parts:
+        out = out.dropDuplicates(list(points.columns) + [poly_id_col])
+    return out
+
+
 def convex_hull(
     points: DataFrame,
     group_cols: list[str],

@@ -114,49 +114,26 @@ def streaming_geofence(
     supported — the shared candidate stage raises on any ring whose
     longitude extent reaches 180°; split such fences at 180 first.
     """
-    from ..hexlib import geom
-    from ..operators.geo_join import _bbox_bucket_candidates
+    # The shared plan lives in geo_join.pip_join_broadcast (round 5):
+    # broadcast bucket-exploded fences + home-bucket projection + JVM
+    # bbox prefilter + the PURE-JVM ray-cast expression
+    # (functions/geo_expr, bit-identical to the NumPy kernel) — no
+    # Python worker in the micro-batch path (the pre-round-5 Arrow
+    # _pip_pair UDF shipped ring arrays through a Python worker per
+    # batch). dedupe_parts=False: dropDuplicates on a stream would
+    # allocate unbounded state, and each point meets each fence RING at
+    # most once (single home bucket) — only multi-ring fences can emit
+    # one row per containing ring, acceptable geofence semantics;
+    # dedupe downstream per micro-batch if needed.
+    from ..operators.geo_join import pip_join_broadcast
 
-    # holes always travel as a (possibly null) array<array<double>> pair
-    # so the verify UDF keeps ONE static signature whether or not the
-    # fence table carries interior rings
-    has_holes = (
-        holes_lat_col in polygons_sdf.columns and holes_lng_col in polygons_sdf.columns
+    return pip_join_broadcast(
+        points_stream, polygons_sdf, cell_deg,
+        lat_col=lat_col, lng_col=lng_col, poly_id_col=poly_id_col,
+        ring_lat_col=ring_lat_col, ring_lng_col=ring_lng_col,
+        holes_lat_col=holes_lat_col, holes_lng_col=holes_lng_col,
+        dedupe_parts=False,
     )
-    null_rings = F.lit(None).cast("array<array<double>>")
-    cand = _bbox_bucket_candidates(
-        points_stream, polygons_sdf, cell_deg, lat_col, lng_col,
-        ring_lat_col, ring_lng_col,
-        carry={
-            poly_id_col: F.col(poly_id_col),
-            "_rla": F.col(ring_lat_col),
-            "_rlg": F.col(ring_lng_col),
-            "_hla": F.col(holes_lat_col) if has_holes else null_rings,
-            "_hlg": F.col(holes_lng_col) if has_holes else null_rings,
-        },
-        broadcast_polys=True,
-    )
-
-    # NO dropDuplicates here: on a stream it would allocate unbounded
-    # dedup state. Each point meets each fence RING at most once (single
-    # home bucket); only multi-ring fences can emit one row per
-    # containing ring — acceptable geofence semantics, dedupe downstream
-    # per micro-batch if needed.
-    #
-    # The verify is the PURE-JVM ray-cast expression (round 5,
-    # functions/geo_expr — bit-identical predicates to the NumPy
-    # kernel): the whole geofence plan is now projections + one
-    # broadcast join + codegen filters, with NO Python worker in the
-    # micro-batch path (the previous Arrow _pip_pair UDF shipped ring
-    # arrays through a Python worker per batch).
-    from ..functions.geo_expr import point_in_polygon_with_holes_expr
-
-    return cand.where(
-        point_in_polygon_with_holes_expr(
-            F.col(lat_col), F.col(lng_col),
-            F.col("_rla"), F.col("_rlg"), F.col("_hla"), F.col("_hlg"),
-        )
-    ).drop("_rla", "_rlg", "_hla", "_hlg")
 
 
 def streaming_proximity(

@@ -782,3 +782,44 @@ class TestPipExpr:
                 [(np.array(a), np.array(b)) for a, b in holes],
             )
             assert (got == want).all()
+
+
+class TestPipJoinBroadcast:
+    def test_equals_cogrouped_pip_join_with_holes(self, spark):
+        """All-JVM broadcast PIP join == the cogrouped big x big path on
+        the interior-ring fixture (incl. MultiPolygon parts + holes)."""
+        from hex2vec_spark.operators.geo_join import pip_join_broadcast
+
+        rng = np.random.default_rng(7)
+        n = 2500
+        pts = spark.createDataFrame(pd.DataFrame({
+            "pid": np.arange(n),
+            "lat": rng.uniform(39.8, 42.4, n),
+            "lng": rng.uniform(14.8, 17.4, n),
+        }))
+        polys = spark.createDataFrame(
+            TestInteriorRings()._fixture(),
+            schema="obj_id string, ring_lat array<double>, ring_lng array<double>, "
+                   "holes_lat array<array<double>>, holes_lng array<array<double>>",
+        )
+        a = {(int(r["pid"]), r["obj_id"])
+             for r in pip_join(pts, polys, cell_deg=0.3).collect()}
+        b = {(int(r["pid"]), r["obj_id"])
+             for r in pip_join_broadcast(pts, polys, cell_deg=0.3).collect()}
+        assert a == b and len(a) > 0
+
+    def test_plan_all_jvm_no_point_shuffle(self, spark):
+        from hex2vec_spark.operators.geo_join import pip_join_broadcast
+
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pid": [1], "lat": [41.0], "lng": [15.5]})
+        )
+        polys = spark.createDataFrame(pd.DataFrame({
+            "obj_id": ["p"], "ring_lat": [[40.0, 40.0, 42.0, 42.0]],
+            "ring_lng": [[15.0, 16.0, 16.0, 15.0]],
+        }))
+        out = pip_join_broadcast(pts, polys, cell_deg=0.5, dedupe_parts=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
