@@ -136,6 +136,18 @@ def _idx(lng: Column, n: Column) -> Column:
     return F.pmod(F.floor((lng + F.lit(180.0)) / (F.lit(360.0) / n)).cast("long"), n)
 
 
+def _bkey(band: Column, idx: Column) -> Column:
+    """(band, idx) combined into ONE long join key: ``band * 2^32 +
+    idx``. Joining on a single long column makes the hash relation a
+    LongHashedRelation (dense long-keyed map) instead of the generic
+    UnsafeRow-keyed map a two-column key forces — measured **5.4x** on
+    the broadcast probe (80M rows x 90k-entry relation: 11.6 s two-col
+    vs 2.1 s single-long, BENCH/GEOJOIN.md round-5 note). Exact: idx is
+    always in [0, n) (pmod) and |band| <= ceil(90/dlat_deg) < 2^31, so
+    the packing never collides or overflows."""
+    return band * F.lit(1 << 32) + idx
+
+
 def distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -187,7 +199,7 @@ def distance_join(
     # real numbers. Bucket sizing is conservative by construction, so
     # the pad costs nothing.
     g *= 1.0 + 1e-9
-    reserved = {"_band", "_idx", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
+    reserved = {"_band", "_idx", "_bkey", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
     # dist_col is an OUTPUT column: an input already carrying that name
     # (plausible in geo data) would be silently replaced by withColumn —
     # error like the internal reserved names do (round-4 advisor fix)
@@ -207,10 +219,13 @@ def distance_join(
     r = right.select(*rcols)
 
     def _home(df: DataFrame, la: str, lg: str) -> DataFrame:
-        # single home bucket: one band + one index in that band's width
+        # single home bucket: one band + one index in that band's width,
+        # combined into ONE long key (_bkey, see _exploded for why)
         b = _band(F.col(la), dlat_deg)
         return df.select(
             "*", b.alias("_band"), _idx(F.col(lg), _nbuckets(b, dlat_deg, g)).alias("_idx")
+        ).select("*", _bkey(F.col("_band"), F.col("_idx")).alias("_bkey")).drop(
+            "_band", "_idx"
         )
 
     def _exploded(df: DataFrame, la: str, lg: str) -> DataFrame:
@@ -237,7 +252,7 @@ def distance_join(
         ]
         return pre.select(
             *base, F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
-        ).select("*", F.col("_cand.b").alias("_band"), F.col("_cand.i").alias("_idx"))
+        ).select("*", _bkey(F.col("_cand.b"), F.col("_cand.i")).alias("_bkey"))
 
     dist = haversine_m_expr(F.col(lat_col), F.col(lng_col), F.col(rlat_out), F.col(rlng_out))
     if broadcast_right:
@@ -246,23 +261,23 @@ def distance_join(
         # projection and is never shuffled (no Exchange on the left —
         # plan-pinned in tests)
         joined = _home(left, lat_col, lng_col).join(
-            F.broadcast(_exploded(r, rlat_out, rlng_out)), ["_band", "_idx"], "inner"
+            F.broadcast(_exploded(r, rlat_out, rlng_out)), ["_bkey"], "inner"
         )
     else:
         # build the hash relation on the un-exploded right side: sorting
         # the 9x-exploded left for a merge join is pure overhead at any
         # scale
         joined = _exploded(left, lat_col, lng_col).join(
-            _home(r, rlat_out, rlng_out).hint("shuffle_hash"), ["_band", "_idx"], "inner"
+            _home(r, rlat_out, rlng_out).hint("shuffle_hash"), ["_bkey"], "inner"
         )
     return (
         joined.withColumn(dist_col, dist)
         .where(F.col(dist_col) <= F.lit(float(radius_m)))
-        .drop("_cand", "_band", "_idx")
+        .drop("_cand", "_bkey")
     )
 
 
-_GRID_RESERVED = {"_band", "_idx", "_la0", "_la1", "_lg0", "_lg1"}
+_GRID_RESERVED = {"_band", "_idx", "_bkey", "_la0", "_la1", "_lg0", "_lg1"}
 
 
 def _bbox_bucket_candidates(
@@ -310,6 +325,11 @@ def _bbox_bucket_candidates(
         ).cast("long")
     )
     i1 = F.floor(F.array_max(F.col(ring_lng_col)) / s).cast("long")
+    # single combined long bucket key (_bkey = band * 2^32 + idx, see
+    # distance_join._bkey: LongHashedRelation probes measured 5.4x
+    # faster than the two-column UnsafeRow key). idx here may be
+    # negative (floor, no pmod) — packing stays injective because
+    # |idx| <= 180/s << 2^31.
     buckets = polygons.select(
         *[c.alias(a) for a, c in carry.items()],
         F.array_min(F.col(ring_lat_col)).alias("_la0"),
@@ -320,21 +340,26 @@ def _bbox_bucket_candidates(
         F.sequence(i0, i1).alias("_idxs"),
     ).select(
         *carry, "_la0", "_la1", "_lg0", "_lg1", "_band", F.explode("_idxs").alias("_idx")
+    ).select(
+        *carry, "_la0", "_la1", "_lg0", "_lg1",
+        _bkey(F.col("_band"), F.col("_idx")).alias("_bkey"),
     )
     if broadcast_polys:
         buckets = F.broadcast(buckets)
     pts = points.select(
         "*",
-        F.floor(F.col(lat_col) / s).cast("long").alias("_band"),
-        F.floor(F.col(lng_col) / s).cast("long").alias("_idx"),
+        _bkey(
+            F.floor(F.col(lat_col) / s).cast("long"),
+            F.floor(F.col(lng_col) / s).cast("long"),
+        ).alias("_bkey"),
     )
     return (
-        pts.join(buckets, ["_band", "_idx"], "inner")
+        pts.join(buckets, ["_bkey"], "inner")
         .where(
             F.col(lat_col).between(F.col("_la0"), F.col("_la1"))
             & F.col(lng_col).between(F.col("_lg0"), F.col("_lg1"))
         )
-        .drop("_band", "_idx", "_la0", "_la1", "_lg0", "_lg1")
+        .drop("_bkey", "_la0", "_la1", "_lg0", "_lg1")
     )
 
 
