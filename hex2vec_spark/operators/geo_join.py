@@ -199,6 +199,14 @@ def distance_join(
     # real numbers. Bucket sizing is conservative by construction, so
     # the pad costs nothing.
     g *= 1.0 + 1e-9
+    # _bkey packing bound: |band| <= ceil(90 deg / dlat_deg) must stay
+    # below 2^31 or band * 2^32 overflows long. dlat_deg = g/_DEG_M, so
+    # the limit is g > ~4.7 mm — any physically meaningful radius.
+    if g < 0.005:
+        raise ValueError(
+            f"radius/grid radius {g:.2e} m below 5 mm is not supported "
+            "(band key packing bound)"
+        )
     reserved = {"_band", "_idx", "_bkey", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
     # dist_col is an OUTPUT column: an input already carrying that name
     # (plausible in geo data) would be silently replaced by withColumn —
@@ -301,6 +309,9 @@ def _bbox_bucket_candidates(
     (points streams/tables already carrying ``_band`` etc. would
     otherwise fail with an ambiguous-reference error mid-plan)."""
     s = float(cell_deg)
+    # _bkey packing bound (see distance_join): |band| <= 90/s < 2^31
+    if s < 1e-7:
+        raise ValueError(f"cell_deg {s:.2e} below 1e-7 deg is not supported (key packing)")
     clash = (_GRID_RESERVED | set(carry)) & set(points.columns)
     if clash:
         raise ValueError(f"grid candidate stage reserves column names {sorted(clash)}")

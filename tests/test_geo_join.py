@@ -823,3 +823,20 @@ class TestPipJoinBroadcast:
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestBkeyPackingGuards:
+    def test_sub_5mm_radius_raises(self, spark):
+        pdf = _points(n=6)
+        sdf = spark.createDataFrame(pdf)
+        with pytest.raises(ValueError, match="5 mm"):
+            distance_join(sdf, sdf, 0.001)
+
+    def test_tiny_cell_deg_raises(self, spark):
+        pts = spark.createDataFrame(_points(n=6))
+        polys = spark.createDataFrame(
+            pd.DataFrame({"obj_id": ["p"], "ring_lat": [[0.0, 0.0, 1.0, 1.0]],
+                          "ring_lng": [[0.0, 1.0, 1.0, 0.0]]})
+        )
+        with pytest.raises(ValueError, match="1e-7"):
+            pip_join(pts, polys, cell_deg=1e-8)
