@@ -47,6 +47,8 @@ def __getattr__(name):
         "pip_join": "operators.geo_join",
         "pip_join_broadcast": "operators.geo_join",
         "points_in_polygon_with_holes": "hexlib.geom",
+        "point_in_ring_expr": "functions.geo_expr",
+        "point_in_polygon_with_holes_expr": "functions.geo_expr",
         "h3_path": "functions.h3_fns",
         "h3_area_m2": "functions.h3_fns",
         "asof_join": "operators.asof",
