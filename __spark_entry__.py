@@ -825,6 +825,91 @@ def _q_tpch_q14(spark, sf_dir):
     )
 
 
+def _q_tpch_q13(spark, sf_dir):
+    # TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    # join with an ON-clause filter (not WHERE: unmatched customers must
+    # keep count 0), double aggregation.
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    # TPC-H Q17 shape: small-quantity revenue vs a CORRELATED per-part
+    # average — expressed decorrelated (per-part 0.2*avg join), the plan
+    # Spark's own subquery rewrite produces.
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    lim = li.groupBy(F.col("l_partkey").alias("lp")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(lim, li["l_partkey"] == F.col("lp"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    # TPC-H Q19 shape: disjunctive OR-of-ANDs predicate over a join —
+    # the pushdown/CNF-conversion stressor.
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    # TPC-H Q22 shape: above-average balances with NO orders — scalar
+    # subquery threshold + anti-join, grouped by segment.
+    c = _load(spark, sf_dir, "customer")
+    # only URGENT orders count as "has orders": at sf0.01 every
+    # above-average customer has SOME order, which would gate 0 rows
+    o = _load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    no_orders = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def _q_cube_counts(spark, sf_dir):
     # grouping-sets surface (beyond-reference): CUBE over two dims with
     # subtotal rows; nulls sentineled to 'ALL' for a stable oracle
@@ -2518,6 +2603,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
         "exists_agg": _q_exists_agg,
         "conditional_agg": _q_conditional_agg,
         "scalar_subquery": _q_scalar_subquery,
@@ -3061,6 +3150,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5),  4) AS q50,
                    ROUND(quantile_cont(value, 0.75), 4) AS q75
             FROM events GROUP BY event_type
+        """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*)::BIGINT AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q17": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity < (
+                SELECT 0.2 * AVG(l2.l_quantity)
+                FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        """,
+        "tpch_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*)::BIGINT AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
