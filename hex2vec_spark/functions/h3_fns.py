@@ -175,6 +175,38 @@ def h3_polyfill_udf(res: int = DEFAULT_RES):
     return _udf
 
 
+def h3_polyfill_holes_udf(res: int = DEFAULT_RES):
+    """Hole-aware polyfill (round 5): (ring_lat, ring_lng, holes_lat,
+    holes_lng) -> array<long> of cells whose center is inside (exterior
+    minus holes) — h3.polyfill on a GeoJSON polygon with interior
+    rings. Hole columns are ``array<array<double>>``; null ->
+    hole-free."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(
+        ring_lat: pd.Series, ring_lng: pd.Series,
+        holes_lat: pd.Series, holes_lng: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for la, ln, hla, hlg in zip(ring_lat, ring_lng, holes_lat, holes_lng):
+            holes = (
+                [
+                    (np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64))
+                    for a, b in zip(hla, hlg)
+                ]
+                if hla is not None and hlg is not None
+                else []
+            )
+            cells = h3core.polyfill(
+                np.asarray(la, dtype=np.float64), np.asarray(ln, dtype=np.float64),
+                res, holes=holes,
+            )
+            out.append(cells.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
 def h3_parent_udf(parent_res: int):
     @F.pandas_udf(LongType())
     def _udf(h: pd.Series) -> pd.Series:
