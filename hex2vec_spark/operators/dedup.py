@@ -116,6 +116,15 @@ def _batch_word_hashes(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     arr = pa.array(text.astype(str), type=pa.string())
+    # str.split parity (round-6 advisor fix): Python's str.split treats
+    # U+001C-U+001F as whitespace but Unicode White_Space (Arrow's
+    # utf8_split_whitespace) does not, so texts carrying those control
+    # chars would tokenize differently than the pre-Arrow loop did.
+    # Presence-gated so the typical batch pays one C-kernel scan, not a
+    # regex rewrite.
+    has_ctl = pc.any(pc.match_substring_regex(arr, "[\\x1c-\\x1f]")).as_py()
+    if has_ctl:
+        arr = pc.replace_substring_regex(arr, "[\\x1c-\\x1f]", " ")
     sp = pc.utf8_split_whitespace(pc.utf8_lower(arr))
     counts = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
     row_id = np.repeat(np.arange(n, dtype=np.int64), counts)

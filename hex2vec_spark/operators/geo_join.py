@@ -143,8 +143,10 @@ def _bkey(band: Column, idx: Column) -> Column:
     UnsafeRow-keyed map a two-column key forces — measured **5.4x** on
     the broadcast probe (80M rows x 90k-entry relation: 11.6 s two-col
     vs 2.1 s single-long, BENCH/GEOJOIN.md round-5 note). Exact: idx is
-    always in [0, n) (pmod) and |band| <= ceil(90/dlat_deg) < 2^31, so
-    the packing never collides or overflows."""
+    always in [0, n) (pmod) with n < 2^32 (the >= 1 cm grid guard in
+    distance_join bounds the equatorial bucket count) and |band| <=
+    ceil(90/dlat_deg) < 2^31, so the packing never collides or
+    overflows."""
     return band * F.lit(1 << 32) + idx
 
 
@@ -199,13 +201,17 @@ def distance_join(
     # real numbers. Bucket sizing is conservative by construction, so
     # the pad costs nothing.
     g *= 1.0 + 1e-9
-    # _bkey packing bound: |band| <= ceil(90 deg / dlat_deg) must stay
-    # below 2^31 or band * 2^32 overflows long. dlat_deg = g/_DEG_M, so
-    # the limit is g > ~4.7 mm — any physically meaningful radius.
-    if g < 0.005:
+    # _bkey packing bound (round-6 advisor fix): BOTH halves of the
+    # packed key must fit — |band| <= ceil(90 deg / dlat_deg) < 2^31
+    # (bands) AND the equatorial bucket count n ~ 2*pi*R/g < 2^32
+    # (indexes; at g = 5 mm n ~ 8.0e9 > 2^32, so idx would spill into
+    # the band slot and two distinct (band, idx) pairs could pack to
+    # one key). n < 2^32 needs g >= 2*pi*R/2^32 ~ 9.33 mm; guard at
+    # 1 cm — still any physically meaningful radius.
+    if g < 0.01:
         raise ValueError(
-            f"radius/grid radius {g:.2e} m below 5 mm is not supported "
-            "(band key packing bound)"
+            f"radius/grid radius {g:.2e} m below 1 cm is not supported "
+            "(band/index key packing bound)"
         )
     reserved = {"_band", "_idx", "_bkey", "_cand", "_b0", "_n0", "_n1", "_n2", "_i0", "_i1", "_i2"}
     # dist_col is an OUTPUT column: an input already carrying that name

@@ -298,10 +298,13 @@ def knn_cell_centroids_pruned(
         _, prefixes = h3core.kring_flat(qparent, r)
         # JVM bit expression (hierarchy.parent_col), not the Arrow
         # parent UDF — re-evaluated per ring, so the Python worker cost
-        # compounded here; corpus cells are at res >= pres by
-        # construction, so check=False is safe
+        # compounded here. check=True (round-6 advisor fix): ``res`` is
+        # sampled from one corpus cell, so a corpus mixing resolutions
+        # could carry cells COARSER than pres — the guard raises (still
+        # pure JVM codegen) instead of silently dropping them from the
+        # candidate set via a malformed parent id
         pruned = cells.where(
-            parent_col(F.col(h3_col), pres, check=False).isin(
+            parent_col(F.col(h3_col), pres, check=True).isin(
                 [int(x) for x in prefixes.view(np.int64)]
             )
         )

@@ -826,11 +826,16 @@ class TestPipJoinBroadcast:
 
 
 class TestBkeyPackingGuards:
-    def test_sub_5mm_radius_raises(self, spark):
+    def test_sub_1cm_radius_raises(self, spark):
+        # round-6 advisor fix: the guard covers BOTH packed halves —
+        # bands (< 2^31) and the equatorial index count (< 2^32 needs
+        # g >= 2*pi*R/2^32 ~ 9.33 mm, so 5 mm was not enough)
         pdf = _points(n=6)
         sdf = spark.createDataFrame(pdf)
-        with pytest.raises(ValueError, match="5 mm"):
+        with pytest.raises(ValueError, match="1 cm"):
             distance_join(sdf, sdf, 0.001)
+        with pytest.raises(ValueError, match="1 cm"):
+            distance_join(sdf, sdf, 0.006)
 
     def test_tiny_cell_deg_raises(self, spark):
         pts = spark.createDataFrame(_points(n=6))

@@ -1219,6 +1219,10 @@ class TestBatchWordHashesArrow:
             pd.Series(["a b", "", "  ", "c", "\tx\ny  z ", "Héllo ÜBER café", "a b"]),
             pd.Series([], dtype=object),
             pd.Series(["same same same", "same"]),
+            # round-6 advisor fix: U+001C-U+001F are str.split whitespace
+            # but NOT Unicode White_Space — the Arrow path must pre-map
+            # them to spaces to keep tokenization parity
+            pd.Series(["a\x1cb c", "x\x1d\x1e y", "\x1fz", "plain text"]),
         ]
         for t in cases:
             r1, h1 = ref(t)

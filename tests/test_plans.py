@@ -146,9 +146,11 @@ class TestTopKPlans:
         q = salted_count(li, ["l_returnflag"], salt_src="l_orderkey")
         plan = plan_of(q)
         # two logical groupBys -> at least two HashAggregate pairs, and
-        # the salt expression (pmod of a hash) feeds the partial phase
+        # the round-6 partition-id salt (pmod of SPARK_PARTITION_ID —
+        # constant within a map task, so partial state stays 1x) feeds
+        # the partial phase
         assert plan.count("HashAggregate") >= 4
-        assert "pmod" in plan and "xxhash64" in plan
+        assert "pmod" in plan and "SPARK_PARTITION_ID" in plan
 
 
 class TestDynamicPartitionPruning:
