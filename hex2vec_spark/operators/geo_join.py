@@ -232,41 +232,66 @@ def distance_join(
     rlng_out = rlng + suffix if rlng in left.columns else rlng
     r = right.select(*rcols)
 
+    # Round 6: the bucket expressions are emitted as SQL TEXT in single
+    # selectExpr calls (the h3_expr lateral-alias pattern) instead of
+    # ~1,100 py4j Column-op round-trips — plan CONSTRUCTION dropped
+    # 0.33 s -> ~0.05 s per call (cProfile: 1128 socket recv_into calls
+    # dominated the build of distance_pairs). Same operations in the
+    # same order with repr-exact double literals, so every computed
+    # value is bit-identical to the Column form; the staged-attribute
+    # structure (_b0/_n*/_i* as lateral aliases -> real columns before
+    # the explode) is preserved because inlining the trig into the
+    # generator measured 25x slower (BENCH/GEOJOIN.md).
+    def _dl(v: float) -> str:
+        # repr is shortest-round-trip; Java parseDouble is correctly
+        # rounded, so the cast folds to the identical bits
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    _s = math.sin(g / (2.0 * EARTH_R))
+    _rad_band = math.radians(dlat_deg)
+
+    def _band_sql(la: str) -> str:
+        return f"CAST(FLOOR(`{la}` / {_dl(dlat_deg)}) AS BIGINT)"
+
+    def _nb_sql(band: str) -> str:
+        worst = f"(GREATEST(ABS({band}), ABS(({band}) + 1)) + 1)"
+        sizing = f"LEAST({_dl(math.pi / 2.0)}, {worst} * {_dl(_rad_band)})"
+        w = f"({_dl(2.0)} * ASIN(LEAST({_dl(1.0)}, {_dl(_s)} / COS({sizing}))))"
+        return (f"GREATEST(CAST(1 AS BIGINT), "
+                f"CAST(FLOOR({_dl(2.0 * math.pi)} / {w}) AS BIGINT))")
+
+    def _idx_sql(lg: str, n: str) -> str:
+        return (f"PMOD(CAST(FLOOR((`{lg}` + {_dl(180.0)}) / ({_dl(360.0)} / ({n}))) "
+                f"AS BIGINT), {n})")
+
     def _home(df: DataFrame, la: str, lg: str) -> DataFrame:
         # single home bucket: one band + one index in that band's width,
         # combined into ONE long key (_bkey, see _exploded for why)
-        b = _band(F.col(la), dlat_deg)
-        return df.select(
-            "*", b.alias("_band"), _idx(F.col(lg), _nbuckets(b, dlat_deg, g)).alias("_idx")
-        ).select("*", _bkey(F.col("_band"), F.col("_idx")).alias("_bkey")).drop(
-            "_band", "_idx"
-        )
+        return df.selectExpr(
+            "*",
+            f"{_band_sql(la)} AS `_band`",
+            f"{_idx_sql(lg, _nb_sql('`_band`'))} AS `_idx`",
+            "(`_band` * 4294967296 + `_idx`) AS `_bkey`",
+        ).drop("_band", "_idx")
 
     def _exploded(df: DataFrame, la: str, lg: str) -> DataFrame:
-        # 3 bands x 3 indexes candidate buckets, deduped.
-        # The per-band bucket count (trig) and index are STAGED as real
-        # columns through chained selects before the explode — inlining
-        # them into the generator repeats the asin/cos tree ~18x per row
-        # and measured 25x slower (17.6s vs 0.7s on 5M rows,
-        # BENCH/GEOJOIN.md); CollapseProject keeps the staging because
-        # collapsing would duplicate non-cheap expressions.
-        base = list(df.columns)
-        pre = df.select("*", _band(F.col(la), dlat_deg).alias("_b0"))
+        # 3 bands x 3 indexes candidate buckets, deduped; _b0/_n*/_i*
+        # resolve to attributes via lateral aliases, so the asin/cos
+        # tree is evaluated 3x per row (once per band), never 18x.
+        base = [f"`{c}`" for c in df.columns]
+        stage = ["*", f"{_band_sql(la)} AS `_b0`"]
         for j, db in enumerate((-1, 0, 1)):
-            band = F.col("_b0") + F.lit(db)
-            n = _nbuckets(band, dlat_deg, g)
-            pre = pre.select("*", n.alias(f"_n{j}"), _idx(F.col(lg), n).alias(f"_i{j}"))
-        cands = [
-            F.struct(
-                (F.col("_b0") + F.lit(db)).alias("b"),
-                F.pmod(F.col(f"_i{j}") + F.lit(di), F.col(f"_n{j}")).alias("i"),
-            )
+            stage.append(f"{_nb_sql(f'(`_b0` + ({db}))')} AS `_n{j}`")
+            stage.append(f"{_idx_sql(lg, f'`_n{j}`')} AS `_i{j}`")
+        pre = df.selectExpr(*stage)
+        cands = ", ".join(
+            f"STRUCT((`_b0` + ({db})) AS b, PMOD(`_i{j}` + ({di}), `_n{j}`) AS i)"
             for j, db in enumerate((-1, 0, 1))
             for di in (-1, 0, 1)
-        ]
-        return pre.select(
-            *base, F.explode(F.array_distinct(F.array(*cands))).alias("_cand")
-        ).select("*", _bkey(F.col("_cand.b"), F.col("_cand.i")).alias("_bkey"))
+        )
+        return pre.selectExpr(
+            *base, f"EXPLODE(ARRAY_DISTINCT(ARRAY({cands}))) AS `_cand`"
+        ).selectExpr("*", "(`_cand`.b * 4294967296 + `_cand`.i) AS `_bkey`")
 
     dist = haversine_m_expr(F.col(lat_col), F.col(lng_col), F.col(rlat_out), F.col(rlng_out))
     if broadcast_right:
@@ -393,6 +418,7 @@ def pip_join(
     holes_lng_col: str = "holes_lng",
     verify_target: int = 1_000_000,
     materialize: bool = True,
+    broadcast_salt_map: bool = True,
 ) -> DataFrame:
     """Big x big point-in-polygon join: (point, polygon) pairs where the
     point lies inside the polygon ring — for polygon sides too large to
@@ -476,7 +502,20 @@ def pip_join(
             F.least(F.lit(64).cast("long"), F.ceil(F.count(F.lit(1)) / F.lit(verify_target))),
         ).alias("_ns")
     )
-    cand = cand.join(salt_map, "_pid").withColumn(
+    # round 6 (guide §3.1): the salt map is one (_pid, _ns) row per
+    # polygon WITH candidates — dimension-sized next to the candidate
+    # table — so BROADCAST it into both attach joins. The round-5 plan
+    # left both as SortMergeJoins (the checkpointed candidate RDD has
+    # no stats, so auto-broadcast never fires): candidates AND ring
+    # payloads each paid an Exchange + Sort just to pick up one long.
+    # Broadcasting removes 4 Exchanges/4 Sorts (12 -> 8 exchanges on
+    # the holed-fixture query) and, at scale, stops the ring arrays
+    # from shuffling twice (once for the salt join, once for the
+    # cogroup). ``broadcast_salt_map=False`` keeps the old shape for
+    # adversarial runs where even one long per polygon id is too big
+    # to broadcast (>10^8 candidate-bearing polygons).
+    sm = F.broadcast(salt_map) if broadcast_salt_map else salt_map
+    cand = cand.join(sm, "_pid").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(lat_col), F.col(lng_col)), F.col("_ns"))
     ).drop("_ns")
     has_holes = holes_lat_col in polygons.columns and holes_lng_col in polygons.columns
@@ -495,7 +534,7 @@ def pip_join(
             F.col(ring_lng_col).alias("_rlg"),
             *hole_sel,
         )
-        .join(salt_map, "_pid")
+        .join(sm, "_pid")
         .select(
             "_pid", "_rla", "_rlg",
             *(["_hla", "_hlg"] if has_holes else []),
