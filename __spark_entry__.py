@@ -118,8 +118,15 @@ def _q1_pricing_summary(spark, sf_dir):
 
 
 def _q_explode_trim(spark, sf_dir):
-    # P3: split -> explode -> trim (load_data.py:42-44) over documents
-    docs = _load(spark, sf_dir, "documents")
+    # P3: split -> explode -> trim (load_data.py:42-44) over documents.
+    # Round 6 (guide §2.5 unsplittable input): documents.parquet is ONE
+    # file with ONE row group, so the scan+explode+partial-agg stage ran
+    # on a single core; a keyed repartition right after the read spreads
+    # the tokenize across the cluster (hash on doc_id — deterministic,
+    # no sort-before-repartition penalty). Result rows unchanged.
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .withColumn("token", F.trim(F.col("token")))
@@ -270,7 +277,13 @@ def _q_distinct_per_key(spark, sf_dir):
 def _q_dedup_exact(spark, sf_dir):
     from hex2vec_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_load(spark, sf_dir, "documents")).select("fp", "doc_id", "n_dupes")
+    # round 6 (guide §2.5): single-row-group input — repartition after
+    # the read so the regex normalize + md5 use every core (see
+    # _q_explode_trim); fp/groupBy results are partitioning-agnostic
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return exact_dedup(docs).select("fp", "doc_id", "n_dupes")
 
 
 def _q_quality(spark, sf_dir):
@@ -418,8 +431,16 @@ def _q_knn_bruteforce(spark, sf_dir):
     from hex2vec_spark.operators.knn import cosine_topk
 
     emb = _load(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
+    # round 6: the 1-row query-vector fetch goes straight to the parquet
+    # file (pyarrow predicate scan) instead of a Spark .first() job —
+    # same file, same float32 values widened identically to Python
+    # floats, ~10 ms instead of a ~130 ms job per pass
+    import pyarrow.dataset as _ds
+
+    tab = _ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=_ds.field("vec_id") == 0, columns=["embedding"]
+    )
+    query = [float(x) for x in tab["embedding"][0].as_py()]
     top = cosine_topk(emb.where(F.col("vec_id") != 0), query, k=10)
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 

@@ -430,9 +430,15 @@ def strict_region_assign(
             [[float(x) for x in a] for a, _ in holes] if holes else None,
             [[float(x) for x in b] for _, b in holes] if holes else None,
         ))
+    # round 6: pandas frame -> Arrow createDataFrame (a raw row list
+    # parallelizes into defaultParallelism pickled-Python RDD slices —
+    # ~32 Python-worker tasks for a 10-row dimension; see the
+    # pip_join_holes fixture note in __spark_entry__)
     parts = (
         joined.sparkSession.createDataFrame(
-            rows,
+            pd.DataFrame(
+                rows, columns=["region_id", "_rla", "_rlg", "_hla", "_hlg"]
+            ),
             schema="region_id string, _rla array<double>, _rlg array<double>, "
                    "_hla array<array<double>>, _hlg array<array<double>>",
         )

@@ -30,6 +30,13 @@ def profile_conf(
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
     return {
         "spark.sql.session.timeZone": "UTC",
+        # guide §6/§9: big sequential scans want large splits — the 25 GB
+        # flagship input at the 128 MB default fragments into ~208 tasks
+        # whose per-task footer/open cost dominates a 3-column read
+        # (measured 0.27 s -> 0.16 s at 1g). Small tables keep full scan
+        # parallelism via the files.minPartitionNum floor
+        # (totalBytes/minPartitionNum caps the split size first).
+        "spark.sql.files.maxPartitionBytes": "1g",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

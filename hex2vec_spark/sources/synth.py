@@ -219,6 +219,16 @@ def images_cache_path(n: int, base_dir: str = "/tmp") -> str:
     return os.path.join(base_dir, f"hexscale_cache_{n}{suffix}")
 
 
+# round 6: weak-keyed per-(session, path) memo of the LAZY scan plan —
+# spark.read.parquet re-infers the footer schema per call (~0.07 s, paid
+# by every entry-query build); the cache dir is immutable once written
+# (generator-versioned path), so the reused file listing cannot go
+# stale. Plan object only — no data is cached.
+import weakref as _weakref
+
+_IMG_SCAN_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
     """Parquet-backed images table at the versioned cache path. A
     mapInPandas source regenerates — including the PNG deflate — on
@@ -227,9 +237,14 @@ def images_table_cached(spark, n: int, base_dir: str = "/tmp"):
     import os
 
     path = images_cache_path(n, base_dir)
+    per = _IMG_SCAN_MEMO.setdefault(spark, {})
+    df = per.get(path)
+    if df is not None:
+        return df
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         images_table(spark, n).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    df = per[path] = spark.read.parquet(path)
+    return df
 
 
 # --------------------------------------------------------- polygon objects
