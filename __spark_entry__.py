@@ -100,6 +100,19 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """documents.parquet is ONE file with ONE row group, so any per-doc
+    compute above its scan runs on a single core (guide §2.5
+    unsplittable input). Keyed repartition after the read (and after any
+    LIMIT, so the selected row set is unchanged) spreads the work; the
+    row SET is identical — only placement changes. Used by the
+    compute-heavy document queries (regex/md5/tokenize loops)."""
+    d = _load(spark, sf_dir, "documents")
+    if limit is not None:
+        d = d.limit(limit)
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 # --------------------------------------------------------------- queries
 
 def _q1_pricing_summary(spark, sf_dir):
@@ -289,7 +302,8 @@ def _q_dedup_exact(spark, sf_dir):
 def _q_quality(spark, sf_dir):
     from hex2vec_spark.operators.text import quality_score
 
-    d = _load(spark, sf_dir, "documents")
+    # round 6: single-row-group input — spread the regex ratio exprs
+    d = _docs_parallel(spark, sf_dir)
     return quality_score(d).select(
         "doc_id", "len_chars",
         F.round("punct_ratio", 6).alias("punct_ratio"),
@@ -313,14 +327,16 @@ def _q_lang_id(spark, sf_dir):
 def _q_bpe_token_count(spark, sf_dir):
     from hex2vec_spark.operators.text import bpe_token_count
 
-    d = _load(spark, sf_dir, "documents")
+    # round 6: single-row-group input — spread the tokenize (see _docs_parallel)
+    d = _docs_parallel(spark, sf_dir)
     return bpe_token_count(d).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
 
 
 def _q_lang_id_ngram(spark, sf_dir):
     from hex2vec_spark.operators.text import lang_id_ngram
 
-    d = _load(spark, sf_dir, "documents")
+    # round 6: single-row-group input — spread the bigram scoring
+    d = _docs_parallel(spark, sf_dir)
     return lang_id_ngram(d).select(
         "doc_id", F.round("en_bigram_score", 6).alias("score"), "lang_pred_ngram"
     )
@@ -473,7 +489,8 @@ def _q_winnow_fp(spark, sf_dir):
     # window-min are identical expressions in DuckDB)
     from hex2vec_spark.operators.text import winnow_fingerprints
 
-    return winnow_fingerprints(_load(spark, sf_dir, "documents"), n=3, window=4)
+    # round 6: spread the per-doc md5 loop across cores (see _docs_parallel)
+    return winnow_fingerprints(_docs_parallel(spark, sf_dir), n=3, window=4)
 
 
 def _q_set_intersect(spark, sf_dir):
@@ -1749,8 +1766,9 @@ def _q_phash_near_dup(spark, sf_dir):
 def _q_minhash_pairs(spark, sf_dir):
     from hex2vec_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d.limit(2000))
+    # round 6: repartition AFTER the limit (row set unchanged) so the
+    # Arrow tokenize/signature stage uses every core (see _docs_parallel)
+    return minhash_lsh_pairs(_docs_parallel(spark, sf_dir, limit=2000))
 
 
 def _q_simhash(spark, sf_dir):
