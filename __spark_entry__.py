@@ -1502,21 +1502,32 @@ def _q_path_length(spark, sf_dir):
     from hex2vec_spark.operators.geo_join import haversine_m_expr
 
     ev = _load(spark, sf_dir, "events")
-    pts = ev.select(
-        "user_id", "ts", "event_id",
-        (F.lit(50.0) + (F.col("event_id") % 997) / 997.0 * 0.5).alias("lat"),
-        (F.lit(19.0) + (F.col("event_id") % 1009) / 1009.0 * 0.8).alias("lng"),
-    )
+    # round 6 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"): lat/lng are PURE FUNCTIONS of event_id, so the window
+    # exchange ships only (user_id, ts, event_id) — 24 B/row instead of
+    # 44 — and the coordinates (current AND lagged) are derived AFTER
+    # the shuffle from event_id / lag(event_id). Same formulas on the
+    # same inputs -> bit-identical doubles (row equality vs the old
+    # plan asserted before landing); the single-row-group events scan
+    # also sheds its serial map-side trig.
+    def _lat(c):
+        return F.lit(50.0) + (c % 997) / 997.0 * 0.5
+
+    def _lng(c):
+        return F.lit(19.0) + (c % 1009) / 1009.0 * 0.8
+
+    pts = ev.select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # explicit NULL guard on the first row per user: least/greatest
     # IGNORE nulls in both engines, so an unguarded NULL lag would
     # silently evaluate to asin(1) — half the earth's circumference
+    prev = F.lag("event_id", 1).over(w)
     legs = pts.select(
         "user_id",
         F.when(
-            F.lag("lat", 1).over(w).isNotNull(),
+            prev.isNotNull(),
             haversine_m_expr(
-                F.lag("lat", 1).over(w), F.lag("lng", 1).over(w), F.col("lat"), F.col("lng")
+                _lat(prev), _lng(prev), _lat(F.col("event_id")), _lng(F.col("event_id"))
             ),
         ).alias("leg"),
     )
